@@ -1,0 +1,157 @@
+"""Fused finite-difference stencils as Pallas TPU kernels.
+
+The reference leaned on cuDNN-fused TF ops for its hot path; the TPU-native
+equivalent (BASELINE.json north_star [B]: "fused finite-difference Pallas
+stencils") is a single-VMEM-pass kernel per field: the whole 2D grid
+(128x96 f32 ~= 49 KB) fits comfortably in VMEM, so each grid program loads one
+batch element once from HBM, computes every derivative on the VPU, and writes
+all outputs — one HBM round-trip instead of one per derivative.
+
+API mirrors :mod:`deepfluids_tpu.ops.fd` (the jnp oracle used as the testing
+reference and the CPU fallback).  Kernels run compiled on TPU and in
+interpreter mode elsewhere, so the same code path is unit-testable on CPU.
+
+Exact same discretization as the oracle: forward differences, edge
+replication (see fd.py docstring; reference deep-fluids ops.py per SURVEY §2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def use_pallas() -> bool:
+    """Whether to run compiled Pallas kernels (TPU) vs interpret/jnp fallback."""
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return not use_pallas()
+
+
+def _fd(x, axis):
+    """Forward diff along ``axis`` of a 2D block, edge-replicated, in-kernel.
+
+    Mosaic cannot lower sub-tile concatenates (offset-mismatched
+    ``tpu.concatenate``), so instead of the oracle's diff+concat this uses two
+    full-shape circular rolls and a masked select — pure VPU ops on aligned
+    vectors:
+
+      fwd[j]  = x[j+1] - x[j]   (wrong only at j = n-1, where roll wraps)
+      bwd[j]  = x[j] - x[j-1]   (right at j = n-1: equals fwd[n-2])
+      out[j]  = fwd[j] if j < n-1 else bwd[j]
+
+    Differences are computed in f32 regardless of input dtype (Mosaic has no
+    sub-32-bit rotate, and bf16 FD is numerically poor); callers cast back.
+    """
+    x = x.astype(jnp.float32)
+    n = x.shape[axis]
+    fwd = pltpu.roll(x, shift=n - 1, axis=axis) - x  # == roll(x, -1) - x
+    bwd = x - pltpu.roll(x, shift=1, axis=axis)
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.where(j < n - 1, fwd, bwd)
+
+
+def _fd_last(x):
+    """Forward diff along the last axis (lanes), edge-replicated."""
+    return _fd(x, 1)
+
+
+def _fd_first(x):
+    """Forward diff along the first axis (sublanes), edge-replicated."""
+    return _fd(x, 0)
+
+
+# Kernels operate in NCHW: the framework's NHWC layout would put the tiny
+# channel dim (1-4) on the 128-lane axis, wasting >95% of every VMEM tile and
+# OOMing VMEM for batched fields.  In NCHW the (H, W) plane lands on
+# (sublanes, lanes).  The public wrappers transpose at the boundary (a ~100 KB
+# XLA copy per field — negligible next to the saved HBM round-trips).
+
+
+# ---------------------------------------------------------------------------
+# curl2d: psi [B, H, W, 1] -> u [B, H, W, 2], one VMEM pass per batch element
+# ---------------------------------------------------------------------------
+
+def _curl2d_kernel(psi_ref, out_ref):
+    p = psi_ref[0, 0, :, :]       # [H, W]
+    dt = out_ref.dtype
+    out_ref[0, 0, :, :] = _fd_first(p).astype(dt)    # u = d(psi)/dy
+    out_ref[0, 1, :, :] = (-_fd_last(p)).astype(dt)  # v = -d(psi)/dx
+
+
+@jax.jit
+def curl2d_fused(psi: jnp.ndarray) -> jnp.ndarray:
+    """Pallas-fused :func:`deepfluids_tpu.ops.fd.curl2d`.
+
+    Args:
+      psi: ``[B, H, W, 1]`` stream function (batched; exactly 4D).
+    Returns:
+      ``[B, H, W, 2]`` velocity.
+    """
+    b, h, w, _ = psi.shape
+    pc = jnp.moveaxis(psi, -1, 1)  # [B, 1, H, W]
+    out = pl.pallas_call(
+        _curl2d_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, h, w), psi.dtype),
+        interpret=_interpret(),
+    )(pc)
+    return jnp.moveaxis(out, 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# jacobian2d: x [B, H, W, 2] -> (J [B, H, W, 4], vort [B, H, W, 1])
+# ---------------------------------------------------------------------------
+
+def _jacobian2d_kernel(x_ref, j_ref, w_ref):
+    u = x_ref[0, 0, :, :]
+    v = x_ref[0, 1, :, :]
+    dudx = _fd_last(u)
+    dudy = _fd_first(u)
+    dvdx = _fd_last(v)
+    dvdy = _fd_first(v)
+    dt = j_ref.dtype
+    j_ref[0, 0, :, :] = dudx.astype(dt)
+    j_ref[0, 1, :, :] = dudy.astype(dt)
+    j_ref[0, 2, :, :] = dvdx.astype(dt)
+    j_ref[0, 3, :, :] = dvdy.astype(dt)
+    w_ref[0, 0, :, :] = (dvdx - dudy).astype(dt)
+
+
+@jax.jit
+def jacobian2d_fused(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas-fused :func:`deepfluids_tpu.ops.fd.jacobian2d` (4D input)."""
+    b, h, w, _ = x.shape
+    xc = jnp.moveaxis(x, -1, 1)  # [B, 2, H, W]
+    j, vort = pl.pallas_call(
+        _jacobian2d_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 2, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 4, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 4, h, w), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, h, w), x.dtype),
+        ),
+        interpret=_interpret(),
+    )(xc)
+    return jnp.moveaxis(j, 1, -1), jnp.moveaxis(vort, 1, -1)
