@@ -1,0 +1,160 @@
+"""Field / latent-code datasets and the prefetching BatchManager.
+
+Replaces the reference's TF1 FIFOQueue + Python feeder threads (SURVEY.md §2
+"Batch manager" [M]) with:
+  * an optional in-RAM cache (the 2D datasets are ~2 GB decompressed — the
+    .npz inflate is the reference's classic input bottleneck, SURVEY §3.1);
+  * a thread-pool prefetcher that decompresses the next batch while the
+    device is busy with the current step;
+  * host-side normalization to [-1, 1] by the manifest ranges.
+
+Device placement/sharding is the trainer's job (pjit in_shardings); this
+module yields ready numpy batches.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import glob
+import os
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from deepfluids_tpu.data.manifest import Manifest, load_manifest
+
+
+class FieldDataset:
+    """Random-access view over ``data/<name>/v/*.npz`` (field + raw params)."""
+
+    def __init__(self, dataset_dir: str, cache: bool = True,
+                 field_key: str = "v"):
+        self.dataset_dir = dataset_dir
+        self.manifest = load_manifest(dataset_dir)
+        self.files = sorted(
+            glob.glob(os.path.join(dataset_dir, field_key, "*.npz"))
+        )
+        if not self.files:
+            raise FileNotFoundError(
+                f"no .npz fields under {dataset_dir}/{field_key}/"
+            )
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = (
+            {} if cache else None
+        )
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        with np.load(self.files[i]) as d:
+            x = d["x"].astype(np.float32)
+            y = d["y"].astype(np.float32)
+        return x, y
+
+    def get(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(field, raw_params) for frame ``i`` — cached after first read."""
+        if self._cache is None:
+            return self._load(i)
+        with self._lock:
+            hit = self._cache.get(i)
+        if hit is not None:
+            return hit
+        item = self._load(i)
+        with self._lock:
+            self._cache[i] = item
+        return item
+
+    def get_normalized(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        x, y = self.get(i)
+        m = self.manifest
+        return (
+            m.normalize_field(x).astype(np.float32),
+            m.normalize_params(y).astype(np.float32),
+        )
+
+
+class BatchManager:
+    """Random-batch sampler with thread-pool prefetch.
+
+    Usage::
+
+        bm = BatchManager(dataset_dir, batch_size=8, seed=0)
+        for x, y in bm.batches(num_steps):   # numpy [B, ...], [B, P] in [-1,1]
+            ...
+    """
+
+    def __init__(self, dataset_dir: str, batch_size: int, seed: int = 0,
+                 cache: bool = True, num_workers: int = 8):
+        self.ds = FieldDataset(dataset_dir, cache=cache)
+        self.manifest = self.ds.manifest
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def _gather(self, idx: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:
+        items = list(self.pool.map(self.ds.get_normalized, idx))
+        x = np.stack([it[0] for it in items])
+        y = np.stack([it[1] for it in items])
+        return x, y
+
+    def sample_batch(self) -> tuple[np.ndarray, np.ndarray]:
+        idx = self.rng.integers(0, len(self.ds), size=self.batch_size)
+        return self._gather(idx)
+
+    def batches(self, num_steps: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield ``num_steps`` random batches, prefetching one step ahead."""
+        nxt = self.pool.submit(self.sample_batch)
+        for _ in range(num_steps):
+            cur = nxt.result()
+            nxt = self.pool.submit(self.sample_batch)
+            yield cur
+
+    def denorm(self, x: np.ndarray) -> np.ndarray:
+        return self.manifest.denormalize_field(x)
+
+
+class CodeDataset:
+    """Latent-code sequences for the integrator (arch "nn").
+
+    Reads ``data/<name>/code<z_num>/<scene>.npz`` files written by the AE
+    encode pass (SURVEY.md §3.3): per scene, ``z = [T, z_num]`` (already in
+    the AE's latent space, front dims = normalized params) and
+    ``p = [T, num_param]`` raw params.
+
+    ``window_batch`` serves random windows of ``w`` consecutive codes for
+    recurrent training (SURVEY.md §3.4; w ~= 30 [B]).
+    """
+
+    def __init__(self, dataset_dir: str, z_num: int, seed: int = 0):
+        self.manifest = load_manifest(dataset_dir)
+        self.code_dir = os.path.join(dataset_dir, f"code{z_num}")
+        files = sorted(glob.glob(os.path.join(self.code_dir, "*.npz")))
+        if not files:
+            raise FileNotFoundError(f"no code files under {self.code_dir}")
+        self.z: list[np.ndarray] = []
+        self.p: list[np.ndarray] = []
+        for fp in files:
+            with np.load(fp) as d:
+                self.z.append(d["z"].astype(np.float32))
+                self.p.append(
+                    self.manifest.normalize_params(d["p"]).astype(np.float32)
+                )
+        self.rng = np.random.default_rng(seed)
+
+    @property
+    def num_scenes(self) -> int:
+        return len(self.z)
+
+    def window_batch(self, batch_size: int, window: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (z_seq [w, B, z_num], p_seq [w, B, num_param])."""
+        zs, ps = [], []
+        for _ in range(batch_size):
+            s = int(self.rng.integers(0, self.num_scenes))
+            t_max = self.z[s].shape[0] - window
+            t0 = int(self.rng.integers(0, max(t_max, 1)))
+            zs.append(self.z[s][t0:t0 + window])
+            ps.append(self.p[s][t0:t0 + window])
+        return np.stack(zs, axis=1), np.stack(ps, axis=1)

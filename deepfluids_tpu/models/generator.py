@@ -1,0 +1,106 @@
+"""GeneratorBE — the parameterized field decoder (arch "de").
+
+Reference: deep-fluids ``model.py:GeneratorBE`` (SURVEY.md §2 [M][B]): a
+BEGAN-style decoder mapping a parameter/latent vector to a stream function
+(2D, 1 channel) or vector potential (3D, 3 channels):
+
+    z -> linear -> reshape to coarse grid [H0, W0, filters]
+      -> repeat x { num_conv 3x3 convs (lrelu) + skip from stage input
+                    + 2x nearest-neighbor upsample (except last stage) }
+      -> final 3x3 conv to out_channels (no activation)
+
+The curl that turns the emitted potential into a divergence-free velocity is
+applied OUTSIDE the network (by the loss/inference wrapper), matching the
+reference's ``use_curl`` wiring (SURVEY.md §3.1).
+
+TPU notes: convolutions run on the MXU via XLA; channel counts default to 128
+(lane-width aligned).  The module is shape-static and jit/vmap/pjit friendly;
+works for 2D ([B, H, W, C]) and 3D ([B, D, H, W, C]) via ``output_shape``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_repeat(output_shape: Sequence[int]) -> int:
+    """Number of conv stages for a given output shape (spatial dims + channel).
+
+    Matches the reference's derivation (SURVEY.md §2): repeat = log2(max
+    spatial extent) - 2, so the coarse grid is max_extent / 2**(repeat-1)
+    (e.g. 128x96 -> repeat 5, coarse 8x6; 112x64x32 -> repeat 4, coarse
+    14x8x4).
+    """
+    return int(math.log2(max(output_shape[:-1]))) - 2
+
+
+def upscale_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor spatial upsampling for NHWC / NDHWC tensors.
+
+    Implemented as reshape+broadcast (each cell repeated ``factor`` times per
+    spatial axis) — identical semantics to TF1 ``resize_nearest_neighbor`` at
+    integer factors, and cheaper than a gather for XLA to fuse.
+    """
+    spatial = x.shape[1:-1]
+    out = x
+    # Insert a broadcast axis after each spatial dim, then collapse.
+    for ax in range(1, 1 + len(spatial)):
+        out = jnp.repeat(out, factor, axis=ax)
+    return out
+
+
+class GeneratorBE(nn.Module):
+    """Parameter/latent vector -> stream function / vector potential field.
+
+    Attributes:
+      output_shape: spatial dims + output channels, e.g. (128, 96, 1) for 2D
+        stream function or (32, 64, 112, 3) for a 3D vector potential.
+      filters: conv width (reference default 128).
+      num_conv: convs per stage (reference default 4).
+      repeat: number of stages; 0 -> derived via :func:`default_repeat`.
+      act_slope: LeakyReLU negative slope.
+      dtype: compute dtype (bf16 on TPU for speed; params stay f32).
+    """
+
+    output_shape: tuple[int, ...] = (128, 96, 1)
+    filters: int = 128
+    num_conv: int = 4
+    repeat: int = 0
+    act_slope: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        spatial = self.output_shape[:-1]
+        out_ch = self.output_shape[-1]
+        rep = self.repeat or default_repeat(self.output_shape)
+        ndim = len(spatial)
+        kernel = (3,) * ndim
+        coarse = tuple(int(s) // 2 ** (rep - 1) for s in spatial)
+        assert all(c * 2 ** (rep - 1) == s for c, s in zip(coarse, spatial)), (
+            f"spatial dims {spatial} must be divisible by 2**(repeat-1)="
+            f"{2 ** (rep - 1)}"
+        )
+
+        act = lambda v: nn.leaky_relu(v, negative_slope=self.act_slope)
+
+        x = nn.Dense(int(np.prod(coarse)) * self.filters, dtype=self.dtype,
+                     name="fc_in")(z.astype(self.dtype))
+        x = x.reshape((-1,) + coarse + (self.filters,))
+        x0 = x
+        for stage in range(rep):
+            for c in range(self.num_conv):
+                x = act(nn.Conv(self.filters, kernel, dtype=self.dtype,
+                                name=f"conv_{stage}_{c}")(x))
+            if stage < rep - 1:
+                x = upscale_nearest(x + x0, 2)
+                x0 = x
+            else:
+                x = x + x0
+        out = nn.Conv(out_ch, kernel, dtype=self.dtype, name="conv_out")(x)
+        return out.astype(jnp.float32)

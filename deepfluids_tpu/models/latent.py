@@ -1,0 +1,87 @@
+"""Latent integration network (arch "nn") and lax.scan temporal rollout.
+
+Reference: deep-fluids ``model.py`` NN MLP + trainer window unroll
+(SURVEY.md §2 "Latent integration net", §3.4 [M][B]).  The latent code from
+the autoencoder is split as ``z = [p (num_param, supervised) ; z_free]``.
+A small MLP T predicts the residual update of the free part:
+
+    dz_free_t = T([z_free_t ; dp_t])         (dp_t = p_{t+1} - p_t)
+    z_{t+1}   = [p_{t+1} ; z_free_t + dz_free_t]
+
+During training the window (w ~= 30 steps [B]) is advanced recurrently from
+z_0; the reference unrolled this in-graph — here it is a ``lax.scan``, which
+keeps whole trajectories on device with O(1) compiled program size
+(BASELINE.json north_star [B]).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class LatentIntegrator(nn.Module):
+    """MLP: [z_free_t ; dp_t] -> dz_free_t (residual latent update).
+
+    Attributes:
+      z_num: full latent size (supervised params + free dims).
+      num_param: number of supervised parameter dims at the front of z.
+      hidden: width of each hidden layer.
+      depth: number of hidden layers.
+    """
+
+    z_num: int = 16
+    num_param: int = 2
+    hidden: int = 512
+    depth: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def free_dim(self) -> int:
+        return self.z_num - self.num_param
+
+    @nn.compact
+    def __call__(self, z_free: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
+        h = jnp.concatenate([z_free, dp], axis=-1).astype(self.dtype)
+        for i in range(self.depth):
+            h = nn.elu(nn.Dense(self.hidden, dtype=self.dtype,
+                                name=f"fc_{i}")(h))
+        out = nn.Dense(self.free_dim, dtype=self.dtype, name="fc_out")(h)
+        return out.astype(jnp.float32)
+
+
+def rollout(
+    apply_fn,
+    params,
+    z0: jnp.ndarray,
+    p_seq: jnp.ndarray,
+    num_param: int,
+) -> jnp.ndarray:
+    """Advance a latent code through time with the integrator via lax.scan.
+
+    Args:
+      apply_fn: bound ``LatentIntegrator.apply``-style callable
+        ``(params, z_free, dp) -> dz_free``.
+      params: integrator parameters.
+      z0: ``[B, z_num]`` initial latent codes (front dims = normalized params
+        at t=0).
+      p_seq: ``[T, B, num_param]`` known normalized parameter trajectory,
+        with ``p_seq[0]`` matching ``z0[:, :num_param]``.
+      num_param: size of the supervised front block of z.
+
+    Returns:
+      ``[T, B, z_num]`` latent trajectory (z_0 included as step 0).
+    """
+    z_free0 = z0[:, num_param:]
+    dp_seq = p_seq[1:] - p_seq[:-1]  # [T-1, B, num_param]
+
+    def step(z_free, inp):
+        dp, p_next = inp
+        z_free = z_free + apply_fn(params, z_free, dp)
+        z = jnp.concatenate([p_next, z_free], axis=-1)
+        return z_free, z
+
+    _, traj = jax.lax.scan(step, z_free0, (dp_seq, p_seq[1:]))
+    z_first = jnp.concatenate([p_seq[0], z_free0], axis=-1)[None]
+    return jnp.concatenate([z_first, traj], axis=0)

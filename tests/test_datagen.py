@@ -1,0 +1,144 @@
+"""Datagen solver + scene/manifest contract tests (SURVEY.md §4, §3.5)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfluids_tpu.data import BatchManager, FieldDataset, load_manifest
+from deepfluids_tpu.datagen import (
+    Liquid2DConfig,
+    Smoke2DConfig,
+    Smoke3DConfig,
+    scenes,
+    simulate_liquid2d,
+    simulate_smoke2d,
+    simulate_smoke3d,
+)
+from deepfluids_tpu.datagen.grids import divergence2d_c, divergence3d_c
+
+
+class TestSmoke2DSolver:
+    def test_plume_rises_and_projects(self):
+        cfg = Smoke2DConfig(height=48, width=32, num_frames=12,
+                            project_iters=30)
+        vt, rt = simulate_smoke2d(jnp.float32(0.5), jnp.float32(0.1), cfg)
+        vt, rt = np.asarray(vt), np.asarray(rt)
+        assert vt.shape == (12, 48, 32, 2)
+        assert rt.shape == (12, 48, 32)
+        assert np.isfinite(vt).all()
+        # density is injected and transported upward over time
+        assert rt[-1].sum() > rt[0].sum()
+        com_y_first = (rt[2] * np.arange(48)[:, None]).sum() / rt[2].sum()
+        com_y_last = (rt[-1] * np.arange(48)[:, None]).sum() / rt[-1].sum()
+        assert com_y_last > com_y_first
+        # projection keeps divergence small relative to velocity scale
+        div = np.asarray(divergence2d_c(jnp.asarray(vt[-1])))
+        assert np.abs(div[2:-2, 2:-2]).max() < 0.5 * (np.abs(vt[-1]).max() + 1e-6)
+
+    def test_moving_source(self):
+        cfg = Smoke2DConfig(height=32, width=32, num_frames=8,
+                            project_iters=20)
+        xs = jnp.linspace(0.3, 0.7, 8)
+        vt, rt = simulate_smoke2d(jnp.float32(0.3), jnp.float32(0.1), cfg,
+                                  pos_x_per_frame=xs, moving=True)
+        assert np.asarray(vt).shape == (8, 32, 32, 2)
+        assert np.isfinite(np.asarray(vt)).all()
+
+
+class TestSmoke3DSolver:
+    def test_shapes_and_motion(self):
+        cfg = Smoke3DConfig(depth=8, height=16, width=16, num_frames=6,
+                            project_iters=20)
+        vt, rt = simulate_smoke3d(jnp.float32(1.0), jnp.float32(0.08), cfg)
+        vt, rt = np.asarray(vt), np.asarray(rt)
+        assert vt.shape == (6, 8, 16, 16, 3)
+        assert np.isfinite(vt).all()
+        assert rt[-1].sum() > 0
+
+
+class TestLiquid2DSolver:
+    def test_levelset_falls(self):
+        cfg = Liquid2DConfig(height=48, width=32, num_frames=10,
+                             project_iters=30)
+        phit, velt = simulate_liquid2d(jnp.float32(0.5), jnp.float32(0.1),
+                                       cfg)
+        phit = np.asarray(phit)
+        assert phit.shape == (10, 48, 32, 1)
+        assert np.isfinite(phit).all()
+        # there is liquid (negative levelset) throughout
+        assert (phit[0] < 0).any() and (phit[-1] < 0).any()
+
+
+@pytest.fixture(scope="module")
+def tiny_smoke_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    out = scenes.smoke_pos21_size5(
+        str(root), num_pos=2, num_size=2, num_frames=4, height=32, width=32,
+        name="tiny_smoke",
+    )
+    return out
+
+
+class TestSceneContract:
+    def test_manifest_and_files(self, tiny_smoke_dataset):
+        m = load_manifest(tiny_smoke_dataset)
+        assert m.num_param == 3
+        assert m.param_names[-1] == "frame"
+        assert m.resolution == [32, 32]
+        assert m.num_channels == 2
+        assert m.v_range[0] < m.v_range[1]
+        files = os.listdir(os.path.join(tiny_smoke_dataset, "v"))
+        assert len(files) == 2 * 2 * 4
+        # density dumped too
+        assert len(os.listdir(os.path.join(tiny_smoke_dataset, "d"))) == 16
+
+    def test_field_dataset_and_normalization(self, tiny_smoke_dataset):
+        ds = FieldDataset(tiny_smoke_dataset)
+        x, y = ds.get(0)
+        assert x.shape == (32, 32, 2)
+        assert y.shape == (3,)
+        xn, yn = ds.get_normalized(0)
+        assert np.abs(xn).max() <= 1.0 + 1e-6
+        assert np.abs(yn).max() <= 1.0 + 1e-6
+
+    def test_batch_manager(self, tiny_smoke_dataset):
+        bm = BatchManager(tiny_smoke_dataset, batch_size=4, seed=0)
+        batches = list(bm.batches(3))
+        assert len(batches) == 3
+        x, y = batches[0]
+        assert x.shape == (4, 32, 32, 2)
+        assert y.shape == (4, 3)
+        # deterministic given the seed
+        bm2 = BatchManager(tiny_smoke_dataset, batch_size=4, seed=0)
+        x2, y2 = next(iter(bm2.batches(1)))
+        np.testing.assert_array_equal(x, x2)
+        np.testing.assert_array_equal(y, y2)
+
+    def test_denorm_roundtrip(self, tiny_smoke_dataset):
+        ds = FieldDataset(tiny_smoke_dataset)
+        m = ds.manifest
+        x, _ = ds.get(1)
+        np.testing.assert_allclose(
+            m.denormalize_field(m.normalize_field(x)), x, rtol=1e-5
+        )
+        p = np.array([0.3, 0.1, 2.0], np.float32)
+        np.testing.assert_allclose(
+            m.denormalize_params(m.normalize_params(p)), p, rtol=1e-4,
+            atol=1e-5,
+        )
+
+
+class TestLiquidScene:
+    def test_levelset_dataset(self, tmp_path):
+        out = scenes.liquid_pos10_size4(
+            str(tmp_path), num_pos=1, num_size=1, num_frames=3, height=32,
+            width=32, name="tiny_liquid",
+        )
+        m = load_manifest(out)
+        assert m.data_type == "levelset"
+        assert m.num_channels == 1
+        ds = FieldDataset(out, field_key="l")
+        x, y = ds.get(0)
+        assert x.shape == (32, 32, 1)

@@ -1,0 +1,138 @@
+"""Model family tests: shapes, stage structure, divergence-free wiring,
+latent layout, scan rollout determinism (SURVEY.md §4 test plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfluids_tpu import ops
+from deepfluids_tpu.models import (
+    Autoencoder,
+    Encoder,
+    GeneratorBE,
+    LatentIntegrator,
+    default_repeat,
+    rollout,
+)
+from deepfluids_tpu.models.generator import upscale_nearest
+
+
+class TestUpscale:
+    def test_nearest_2d(self):
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        y = np.asarray(upscale_nearest(x))
+        assert y.shape == (1, 4, 4, 1)
+        np.testing.assert_allclose(y[0, :2, :2, 0], x[0, 0, 0, 0])
+        np.testing.assert_allclose(y[0, 2:, 2:, 0], x[0, 1, 1, 0])
+
+    def test_nearest_3d(self):
+        x = jnp.arange(8.0).reshape(1, 2, 2, 2, 1)
+        y = upscale_nearest(x)
+        assert y.shape == (1, 4, 4, 4, 1)
+
+
+class TestGenerator2D:
+    def test_repeat_derivation(self):
+        assert default_repeat((128, 96, 1)) == 5
+        assert default_repeat((32, 64, 112, 3)) == 4
+
+    def test_output_shape_and_divfree(self):
+        model = GeneratorBE(output_shape=(64, 48, 1), filters=16, num_conv=2)
+        z = jnp.ones((2, 3))
+        params = model.init(jax.random.key(0), z)
+        psi = model.apply(params, z)
+        assert psi.shape == (2, 64, 48, 1)
+        u = ops.curl2d(psi)
+        div = np.asarray(ops.divergence2d(u))[:, :-2, :-2]
+        np.testing.assert_allclose(div, 0.0, atol=1e-4)
+
+    def test_batch_independence(self):
+        model = GeneratorBE(output_shape=(32, 32, 1), filters=8, num_conv=1)
+        z = jax.random.normal(jax.random.key(1), (4, 3))
+        params = model.init(jax.random.key(0), z)
+        full = model.apply(params, z)
+        one = model.apply(params, z[:1])
+        np.testing.assert_allclose(
+            np.asarray(full[:1]), np.asarray(one), atol=1e-5
+        )
+
+
+class TestGenerator3D:
+    def test_output_shape(self):
+        model = GeneratorBE(output_shape=(16, 16, 16, 3), filters=8,
+                            num_conv=1)
+        z = jnp.ones((1, 4))
+        params = model.init(jax.random.key(0), z)
+        psi = model.apply(params, z)
+        assert psi.shape == (1, 16, 16, 16, 3)
+        u = ops.curl3d(psi)
+        div = np.asarray(ops.divergence3d(u))[:, :-2, :-2, :-2]
+        np.testing.assert_allclose(div, 0.0, atol=1e-4)
+
+
+class TestAutoencoder:
+    def test_roundtrip_shapes(self):
+        model = Autoencoder(output_shape=(32, 32, 2), z_num=8, filters=8,
+                            num_conv=1)
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        params = model.init(jax.random.key(1), x)
+        psi, z = model.apply(params, x)
+        assert z.shape == (2, 8)
+        assert psi.shape == (2, 32, 32, 2)  # out_ch = output_shape[-1]
+
+    def test_encoder_shape(self):
+        enc = Encoder(z_num=8, filters=8, num_conv=1)
+        x = jnp.ones((3, 32, 32, 2))
+        params = enc.init(jax.random.key(0), x)
+        z = enc.apply(params, x)
+        assert z.shape == (3, 8)
+
+
+class TestLatentIntegrator:
+    def test_residual_shapes(self):
+        m = LatentIntegrator(z_num=8, num_param=2, hidden=32, depth=2)
+        zf = jnp.ones((4, 6))
+        dp = jnp.zeros((4, 2))
+        params = m.init(jax.random.key(0), zf, dp)
+        dz = m.apply(params, zf, dp)
+        assert dz.shape == (4, 6)
+
+    def test_rollout_deterministic_and_param_pinning(self):
+        m = LatentIntegrator(z_num=8, num_param=2, hidden=16, depth=1)
+        zf = jnp.ones((2, 6))
+        dp = jnp.zeros((2, 2))
+        params = m.init(jax.random.key(0), zf, dp)
+        apply_fn = lambda p, z, d: m.apply(p, z, d)
+
+        T = 10
+        p_seq = jnp.linspace(0.0, 1.0, T)[:, None, None] * jnp.ones((T, 2, 2))
+        z0 = jnp.concatenate([p_seq[0], zf], axis=-1)
+        traj1 = rollout(apply_fn, params, z0, p_seq, num_param=2)
+        traj2 = rollout(apply_fn, params, z0, p_seq, num_param=2)
+        assert traj1.shape == (T, 2, 8)
+        # determinism
+        np.testing.assert_array_equal(np.asarray(traj1), np.asarray(traj2))
+        # supervised block pinned to the known parameter trajectory
+        np.testing.assert_allclose(
+            np.asarray(traj1[:, :, :2]), np.asarray(p_seq), atol=1e-6
+        )
+        # step 0 is exactly z0
+        np.testing.assert_allclose(np.asarray(traj1[0]), np.asarray(z0),
+                                   atol=1e-6)
+
+    def test_rollout_jit_and_grad(self):
+        m = LatentIntegrator(z_num=6, num_param=2, hidden=8, depth=1)
+        zf = jnp.ones((1, 4))
+        dp = jnp.zeros((1, 2))
+        params = m.init(jax.random.key(0), zf, dp)
+        apply_fn = lambda p, z, d: m.apply(p, z, d)
+        p_seq = jnp.zeros((5, 1, 2))
+        z0 = jnp.concatenate([p_seq[0], zf], axis=-1)
+
+        def loss(p):
+            traj = rollout(apply_fn, p, z0, p_seq, num_param=2)
+            return jnp.sum(traj**2)
+
+        g = jax.jit(jax.grad(loss))(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
