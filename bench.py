@@ -1,0 +1,111 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json [B]): velocity fields/sec/chip for the 2D smoke
+generator at the reference's 128x96 resolution (the inference-sweep hot
+loop, SURVEY.md §3.2).  `vs_baseline` is measured against a live proxy of
+the reference's TF1-CPU setting: the SAME decoder run at batch 1 on CPU in
+a subprocess (the reference swept parameters one sess.run at a time on
+host, SURVEY §3.2 [M]); the [B] north-star target is ≥50x.
+
+Usage: python bench.py          (runs on the default backend — the TPU chip)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+WARMUP = 3
+ITERS = 20
+CPU_ITERS = 8
+
+
+def _measure(fn, args, iters, warmup):
+    """Wall time per call, forcing a host fetch of a scalar EVERY call.
+
+    Through the axon tunnel, `block_until_ready` returns before the
+    computation actually runs (measured: 0.08 ms/"blocked" call vs 38 ms
+    real); only fetching result bytes to host forces execution.  `fn` must
+    return a scalar that depends on the full output (e.g. its sum) so the
+    4-byte fetch serializes the real compute without paying field-sized
+    transfers.
+    """
+    for _ in range(warmup):
+        float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def run_device_bench() -> float:
+    """Batched generator inference fields/sec on the default backend."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    fn, (params, _) = ge.entry()
+
+    @jax.jit
+    def jfn(params, p):
+        return jnp.sum(fn(params, p))
+
+    p = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, size=(BATCH, 3)).astype(np.float32))
+    dt = _measure(jfn, (params, p), ITERS, WARMUP)
+    return BATCH / dt
+
+
+def run_cpu_baseline() -> float:
+    """Batch-1 CPU fields/sec (TF1-CPU reference proxy) in a subprocess."""
+    code = (
+        # The axon plugin ignores the JAX_PLATFORMS env var; the config
+        # update is what actually selects the CPU backend.
+        "import json,time,numpy as np,jax,jax.numpy as jnp;"
+        "jax.config.update('jax_platforms','cpu');"
+        "import __graft_entry__ as ge;"
+        "fn,(params,_)=ge.entry();"
+        "jfn=jax.jit(lambda pa,p: jnp.sum(fn(pa,p)));"
+        "p=jnp.zeros((1,3));"
+        "[float(jfn(params,p)) for _ in range(2)];"
+        f"n={CPU_ITERS};t0=time.perf_counter();"
+        "[float(jfn(params,p)) for _ in range(n)];"
+        "print('CPURATE', n/(time.perf_counter()-t0))"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=900,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CPURATE"):
+            return float(line.split()[1])
+    raise RuntimeError(f"cpu baseline failed: {out.stderr[-800:]}")
+
+
+def main():
+    fields_per_sec = run_device_bench()
+    try:
+        cpu_rate = run_cpu_baseline()
+        vs = fields_per_sec / cpu_rate
+    except Exception:
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "2d_velocity_fields_per_sec_per_chip",
+        "value": round(fields_per_sec, 1),
+        "unit": "fields/s (128x96, batch 64, curl applied)",
+        "vs_baseline": round(vs, 1) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

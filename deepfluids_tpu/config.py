@@ -1,0 +1,138 @@
+"""Config system — grouped flags with the reference's names.
+
+Reference: deep-fluids ``config.py`` (SURVEY.md §2 "Config system", §5
+"Config / flag system" [M]): argparse in groups (network / data / train /
+test), every hyperparameter a flag, config persisted as JSON in the run dir.
+Flag names are kept identical where the reference had them (``--arch``,
+``--is_train``, ``--dataset``, ``--data_type``, ``--res_x/y/z``, ``--is_3d``,
+``--w1/--w2``, ``--use_curl``, ``--lr_max/--lr_min``, ``--max_step``,
+``--batch_size``, ``--load_path``, ``--tag``) so reference commands translate
+1:1 (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    return v.lower() in ("yes", "true", "t", "1")
+
+
+@dataclasses.dataclass
+class Config:
+    # --- network ---
+    arch: str = "de"           # de | ae | nn
+    filters: int = 128
+    num_conv: int = 4
+    repeat: int = 0            # 0 -> derived from resolution
+    z_num: int = 16            # latent size (ae/nn)
+    use_curl: bool = True
+    w1: float = 1.0            # field L1 weight
+    w2: float = 1.0            # jacobian L1 weight
+    w3: float = 1.0            # latent param-supervision weight (ae)
+    # nn (latent integrator)
+    nn_hidden: int = 512
+    nn_depth: int = 2
+    w_num: int = 30            # rollout window length [B]
+
+    # --- data ---
+    data_dir: str = "data"
+    dataset: str = "smoke_pos21_size5"
+    data_type: str = "velocity"   # velocity | levelset
+    batch_size: int = 8
+    num_worker: int = 8
+    cache_data: bool = True
+
+    # --- dims (0 -> read from manifest) ---
+    is_3d: bool = False
+    res_x: int = 0
+    res_y: int = 0
+    res_z: int = 0
+
+    # --- train ---
+    is_train: bool = True
+    max_step: int = 100_000
+    lr_max: float = 1e-4
+    lr_min: float = 2.5e-6
+    beta1: float = 0.5
+    beta2: float = 0.999
+    seed: int = 123
+    log_step: int = 100
+    test_step: int = 1000
+    save_step: int = 5000
+    compute_dtype: str = "bfloat16"   # conv compute dtype on TPU
+    num_data_shards: int = 0          # 0 -> all devices on the data mesh axis
+
+    # --- test / inference ---
+    load_path: str = ""
+    test_batch_size: int = 32
+    test_frames: int = 0       # 0 -> manifest num_frames
+
+    # --- bookkeeping ---
+    log_dir: str = "logs"
+    tag: str = "tag"
+    model_dir: str = ""        # derived
+
+    @property
+    def dataset_dir(self) -> str:
+        return os.path.join(self.data_dir, self.dataset)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("deepfluids_tpu")
+    defaults = Config()
+    groups = {
+        "network": ["arch", "filters", "num_conv", "repeat", "z_num",
+                    "use_curl", "w1", "w2", "w3", "nn_hidden", "nn_depth",
+                    "w_num"],
+        "data": ["data_dir", "dataset", "data_type", "batch_size",
+                 "num_worker", "cache_data", "is_3d", "res_x", "res_y",
+                 "res_z"],
+        "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
+                  "beta2", "seed", "log_step", "test_step", "save_step",
+                  "compute_dtype", "num_data_shards"],
+        "test": ["load_path", "test_batch_size", "test_frames"],
+        "misc": ["log_dir", "tag"],
+    }
+    for gname, names in groups.items():
+        g = p.add_argument_group(gname)
+        for n in names:
+            default = getattr(defaults, n)
+            t = type(default)
+            if t is bool:
+                g.add_argument(f"--{n}", type=_str2bool, default=default)
+            else:
+                g.add_argument(f"--{n}", type=t, default=default)
+    return p
+
+
+def get_config(argv: Optional[list[str]] = None) -> Config:
+    ns = get_parser().parse_args(argv)
+    return Config(**vars(ns))
+
+
+def save_config(config: Config, run_dir: str) -> str:
+    """Persist the config as JSON beside the checkpoints (reference
+    util.save_config, SURVEY.md §2 [M])."""
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, "params.json")
+    with open(path, "w") as f:
+        f.write(config.to_json())
+    return path
+
+
+def load_config(run_dir: str) -> Config:
+    with open(os.path.join(run_dir, "params.json")) as f:
+        d = json.load(f)
+    known = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in d.items() if k in known})

@@ -86,8 +86,9 @@ class BatchManager:
     """
 
     def __init__(self, dataset_dir: str, batch_size: int, seed: int = 0,
-                 cache: bool = True, num_workers: int = 8):
-        self.ds = FieldDataset(dataset_dir, cache=cache)
+                 cache: bool = True, num_workers: int = 8,
+                 field_key: str = "v"):
+        self.ds = FieldDataset(dataset_dir, cache=cache, field_key=field_key)
         self.manifest = self.ds.manifest
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)

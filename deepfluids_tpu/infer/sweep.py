@@ -1,0 +1,125 @@
+"""Batched parameter-grid sweeps for the generator (arch "de").
+
+Reference: SURVEY.md §3.2 — the reference swept the grid one sess.run per
+frame; this sweeps in jit-compiled batches (the benchmark surface:
+"velocity fields/sec" [B]) and writes the same artifacts: per-frame ``.npz``
+fields plus vorticity/magnitude PNGs and GIFs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfluids_tpu.data.manifest import Manifest
+from deepfluids_tpu.train import losses
+from deepfluids_tpu.utils import save_field_image, save_gif
+
+
+def param_grid(manifest: Manifest, counts: Sequence[int],
+               num_frames: int | None = None) -> np.ndarray:
+    """Full parameter grid in RAW units, frame param last.
+
+    Args:
+      manifest: dataset manifest (param ranges; last param = frame).
+      counts: grid size per non-frame parameter (e.g. (21, 5)).
+      num_frames: frames per scene (default manifest.num_frames).
+    Returns:
+      [prod(counts) * num_frames, num_param] raw params, frame-major within
+      each scene (scene-by-scene contiguous, matching the reference's dump
+      order).
+    """
+    t = num_frames or manifest.num_frames
+    axes = [np.linspace(r[0], r[1], n)
+            for r, n in zip(manifest.param_ranges[:-1], counts)]
+    frames = np.arange(t, dtype=np.float64)
+    mesh = np.meshgrid(*axes, indexing="ij")
+    scene_params = np.stack([m.ravel() for m in mesh], axis=1)
+    out = np.concatenate(
+        [np.concatenate(
+            [np.repeat(sp[None], t, axis=0), frames[:, None]], axis=1)
+         for sp in scene_params], axis=0)
+    return out.astype(np.float32)
+
+
+def sweep_generator(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    manifest: Manifest,
+    raw_params: np.ndarray,
+    batch_size: int = 32,
+    denormalize: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield generated fields for a raw-parameter list, in jitted batches.
+
+    Args:
+      apply_fn: jittable ``p_norm [B, P] -> field [B, *res, C]`` (curl
+        already applied; normalized units).  The last partial batch is padded
+        to ``batch_size`` so ONE compiled program serves the whole sweep.
+    """
+    fn = jax.jit(apply_fn)
+    n = raw_params.shape[0]
+    p_norm = manifest.normalize_params(raw_params)
+    for i in range(0, n, batch_size):
+        chunk = p_norm[i:i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        out = np.asarray(fn(jnp.asarray(chunk)))
+        if pad:
+            out = out[:-pad]
+        if denormalize:
+            out = manifest.denormalize_field(out)
+        yield out
+
+
+def run_test_sweep(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    manifest: Manifest,
+    out_dir: str,
+    counts: Sequence[int] | None = None,
+    num_frames: int | None = None,
+    batch_size: int = 32,
+    save_npz: bool = True,
+    save_png_every: int = 0,
+    gif_scenes: int = 1,
+) -> dict:
+    """Full parameter-grid sweep writing .npz fields (+ optional PNG/GIFs).
+
+    Mirrors the reference's test() artifact layout: ``<out_dir>/<scene>_<frame>
+    .npz`` with key ``x`` (raw-unit field) and ``y`` (raw params), vorticity
+    PNGs every ``save_png_every`` frames, and a GIF for the first
+    ``gif_scenes`` scenes.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if counts is None:
+        # Default: one value per non-frame param at range midpoint.
+        counts = [1] * (manifest.num_param - 1)
+    t = num_frames or manifest.num_frames
+    raw = param_grid(manifest, counts, t)
+    n = raw.shape[0]
+    mode = "levelset" if manifest.num_channels == 1 else "vorticity"
+
+    gif_frames: list[np.ndarray] = []
+    idx = 0
+    for batch in sweep_generator(apply_fn, manifest, raw, batch_size):
+        for f in batch:
+            scene, frame = divmod(idx, t)
+            if save_npz:
+                np.savez_compressed(
+                    os.path.join(out_dir, f"{scene}_{frame}.npz"),
+                    x=f.astype(np.float32), y=raw[idx])
+            if save_png_every and frame % save_png_every == 0:
+                save_field_image(
+                    os.path.join(out_dir, f"{scene}_{frame}.png"), f, mode)
+            if scene < gif_scenes:
+                gif_frames.append(f)
+            idx += 1
+    if gif_frames:
+        for s in range(gif_scenes):
+            save_gif(os.path.join(out_dir, f"scene{s}.gif"),
+                     gif_frames[s * t:(s + 1) * t], mode)
+    return {"num_fields": n, "out_dir": out_dir}

@@ -1,0 +1,67 @@
+"""CLI entry: ``python -m deepfluids_tpu.main --flags…``.
+
+Reference parity target: ``main.py`` of byungsook/deep-fluids (SURVEY.md §2
+"CLI entry", §3.1 [M]): seed RNGs, build config + run dir, construct the
+data pipeline and Trainer, dispatch train() vs test() on ``--is_train``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from deepfluids_tpu.config import Config, get_config
+from deepfluids_tpu.utils import get_logger
+
+log = get_logger()
+
+
+def main(config: Config) -> dict:
+    np.random.seed(config.seed)
+    from deepfluids_tpu.train.trainer import Trainer
+
+    trainer = Trainer(config)
+    if config.is_train:
+        result = trainer.train()
+        log.info("training done: %s", result)
+        return result
+    # --- test / inference (SURVEY §3.2 / §3.4) ---
+    if config.load_path:
+        step = trainer.restore_checkpoint()
+        log.info("restored checkpoint step %d from %s", step,
+                 trainer.ckpt_dir)
+    out_dir = os.path.join(trainer.run_dir, "test")
+    if config.arch == "de":
+        from deepfluids_tpu.infer import run_test_sweep
+
+        def apply_fn(p_norm):
+            from deepfluids_tpu.train import losses
+
+            out = trainer.state.apply_fn(
+                {"params": trainer.state.params}, p_norm)
+            return losses.apply_curl(out) if trainer.curl_active else out
+
+        counts = [5] * (trainer.manifest.num_param - 1)
+        result = run_test_sweep(
+            apply_fn, trainer.manifest, out_dir, counts=counts,
+            num_frames=config.test_frames or None,
+            batch_size=config.test_batch_size, save_png_every=20)
+        log.info("sweep done: %s", result)
+        return result
+    if config.arch == "ae":
+        from deepfluids_tpu.infer import encode_dataset
+
+        code_dir = encode_dataset(trainer.encode, config.dataset_dir,
+                                  config.z_num,
+                                  batch_size=config.test_batch_size)
+        log.info("encoded dataset -> %s", code_dir)
+        return {"code_dir": code_dir}
+    raise SystemExit(
+        "arch 'nn' test requires an AE checkpoint for decoding; use the "
+        "rollout API (deepfluids_tpu.infer.rollout_trajectory) directly.")
+
+
+if __name__ == "__main__":
+    main(get_config(sys.argv[1:]))

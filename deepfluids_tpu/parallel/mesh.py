@@ -1,0 +1,81 @@
+"""Device mesh + sharding helpers (the DP/TP backbone).
+
+Design (SURVEY.md §2 parallelism table, §7 "Hard parts"): Deep-Fluids fields
+are small (2D 128x96x2 ≈ 100 KB, 3D 112x64x32x3 ≈ 2.7 MB) — far below the
+point where spatially sharding one grid pays for halo traffic.  The winning
+layout is therefore:
+
+  * **data axis**: shard the BATCH (training) or the PARAMETER SWEEP
+    (inference) across chips; weights replicated.  Gradients are combined by
+    XLA's automatic all-reduce over ICI — no hand-written collectives needed.
+  * weights/optimizer state: replicated (model is ~30 MB of f32 params).
+
+The mesh is 1-axis ("data") by default; `make_mesh` accepts an explicit
+(data, model) shape for experiments with channel-sharded convs, and all
+helpers degrade gracefully to a 1-device mesh (CPU dev loop, single chip).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_data: int | None = None,
+    num_model: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Args:
+      num_data: size of the data axis; default = all devices / num_model.
+      num_model: size of the model axis (default 1 — weights replicated).
+      devices: explicit device list (tests pass virtual CPU devices).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    n = num_data * num_model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {num_data}x{num_model} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    dev_array = np.asarray(devices[:n]).reshape(num_data, num_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for batched arrays: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (weights, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host numpy batches onto the mesh, batch dim over the data axis.
+
+    Pads nothing: callers must keep batch_size divisible by the data-axis
+    size (asserted here so failures are loud, not silently misplaced).
+    """
+    ndata = mesh.shape[DATA_AXIS]
+    out = []
+    sh = batch_sharding(mesh)
+    for a in arrays:
+        if a.shape[0] % ndata != 0:
+            raise ValueError(
+                f"batch dim {a.shape[0]} not divisible by data-axis size "
+                f"{ndata}"
+            )
+        out.append(jax.device_put(a, sh))
+    return out[0] if len(out) == 1 else tuple(out)

@@ -1,0 +1,101 @@
+"""Field visualization: vorticity/magnitude PNGs, montages, GIFs.
+
+Reference: deep-fluids ``util.py`` ``save_image`` + trainer test dumps
+(SURVEY.md §2 "Util", L5 visualization layer [M]) — velocity fields rendered
+as vorticity (diverging colormap) or magnitude images, tiled into grids
+during training, assembled into GIFs for parameter/time sweeps.
+
+Colorization is pure numpy (no matplotlib dependency in the hot path);
+PIL writes PNGs, imageio assembles GIFs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from deepfluids_tpu.ops import fd
+
+
+def _colorize_diverging(x: np.ndarray, vmax: float | None = None) -> np.ndarray:
+    """Signed scalar [H, W] -> uint8 RGB, blue-white-red diverging map."""
+    vmax = vmax or (np.abs(x).max() + 1e-8)
+    t = np.clip(x / vmax, -1.0, 1.0)
+    r = np.where(t >= 0, 1.0, 1.0 + t)
+    g = 1.0 - np.abs(t)
+    b = np.where(t <= 0, 1.0, 1.0 - t)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def _colorize_magnitude(x: np.ndarray, vmax: float | None = None) -> np.ndarray:
+    """Nonnegative scalar [H, W] -> uint8 RGB, black-body-style ramp."""
+    vmax = vmax or (x.max() + 1e-8)
+    t = np.clip(x / vmax, 0.0, 1.0)
+    r = np.clip(3.0 * t, 0, 1)
+    g = np.clip(3.0 * t - 1.0, 0, 1)
+    b = np.clip(3.0 * t - 2.0, 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def field_to_image(field: np.ndarray, mode: str = "vorticity",
+                   vmax: float | None = None) -> np.ndarray:
+    """Render one field to an RGB uint8 image (origin flipped so +y is up).
+
+    Args:
+      field: [H, W, C] (2D) or [D, H, W, C] (3D — rendered as the
+        mid-depth slice, vorticity magnitude).
+      mode: "vorticity" | "magnitude" | "levelset" | "scalar".
+    """
+    field = np.asarray(field, np.float32)
+    if field.ndim == 4:  # 3D: take mid-depth slice, keep in-plane components
+        field = field[field.shape[0] // 2]
+    if mode == "vorticity" and field.shape[-1] >= 2:
+        w = np.asarray(fd.vorticity2d(field[..., :2][None])[0, ..., 0])
+        img = _colorize_diverging(w, vmax)
+    elif mode == "magnitude":
+        m = np.linalg.norm(field, axis=-1)
+        img = _colorize_magnitude(m, vmax)
+    else:  # levelset / generic scalar
+        img = _colorize_diverging(field[..., 0], vmax)
+    return img[::-1]  # flip y so the plume rises upward in the PNG
+
+
+def save_field_image(path: str, field: np.ndarray, mode: str = "vorticity",
+                     vmax: float | None = None) -> str:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(field_to_image(field, mode, vmax)).save(path)
+    return path
+
+
+def save_image_grid(path: str, fields: Sequence[np.ndarray], ncol: int = 0,
+                    mode: str = "vorticity", vmax: float | None = None) -> str:
+    """Tile several fields into one PNG montage (reference save_image)."""
+    from PIL import Image
+
+    imgs = [field_to_image(f, mode, vmax) for f in fields]
+    n = len(imgs)
+    ncol = ncol or int(np.ceil(np.sqrt(n)))
+    nrow = int(np.ceil(n / ncol))
+    h, w, _ = imgs[0].shape
+    grid = np.zeros((nrow * h, ncol * w, 3), np.uint8)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, ncol)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(grid).save(path)
+    return path
+
+
+def save_gif(path: str, fields: Sequence[np.ndarray], mode: str = "vorticity",
+             vmax: float | None = None, fps: int = 24) -> str:
+    """Assemble a field sequence into a GIF (reference test-time sweeps)."""
+    import imageio
+
+    frames = [field_to_image(f, mode, vmax) for f in fields]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.mimsave(path, frames, duration=1.0 / fps, loop=0)
+    return path

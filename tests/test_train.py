@@ -1,0 +1,176 @@
+"""Training-runtime tests: schedule, losses, per-arch train steps on the
+8-device CPU mesh, checkpoint/resume (SURVEY.md §4 test plan)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfluids_tpu.config import Config, load_config, save_config
+from deepfluids_tpu.datagen import scenes
+from deepfluids_tpu.parallel import make_mesh, shard_batch
+from deepfluids_tpu.train import (
+    cosine_lr_schedule,
+    field_loss,
+    generator_loss,
+    latent_window_loss,
+)
+from deepfluids_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    scenes.smoke_pos21_size5(
+        str(root), num_pos=2, num_size=2, num_frames=4, height=32, width=32,
+        name="tiny_smoke",
+    )
+    return str(root)
+
+
+def tiny_config(data_dir, log_dir, **kw) -> Config:
+    base = dict(
+        arch="de", filters=8, num_conv=1, z_num=8, batch_size=8,
+        data_dir=data_dir, dataset="tiny_smoke", log_dir=log_dir,
+        max_step=50, lr_max=2e-3, lr_min=1e-4, log_step=10,
+        test_step=10_000, save_step=10_000, compute_dtype="float32",
+        num_worker=2, seed=0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+class TestSchedule:
+    def test_cosine_endpoints(self):
+        f = cosine_lr_schedule(1e-4, 1e-6, 1000)
+        np.testing.assert_allclose(float(f(0)), 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(f(1000)), 1e-6, rtol=1e-5)
+        mid = float(f(500))
+        np.testing.assert_allclose(mid, (1e-4 + 1e-6) / 2, rtol=1e-5)
+        # clamped past max_step
+        np.testing.assert_allclose(float(f(5000)), 1e-6, rtol=1e-5)
+
+
+class TestLosses:
+    def test_field_loss_zero_at_identity(self):
+        x = jnp.ones((2, 8, 8, 2))
+        loss, aux = field_loss(x, x, 1.0, 1.0)
+        assert float(loss) == 0.0
+
+    def test_generator_loss_curl_path_grads(self):
+        psi = jax.random.normal(jax.random.key(0), (2, 8, 8, 1))
+        x = jax.random.normal(jax.random.key(1), (2, 8, 8, 2))
+
+        def f(p):
+            loss, _ = generator_loss(p, x, True, 1.0, 1.0)
+            return loss
+
+        g = jax.grad(f)(psi)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_latent_window_loss(self):
+        z = jax.random.normal(jax.random.key(0), (5, 3, 8))
+        loss, _ = latent_window_loss(z, z, 2)
+        assert float(loss) == 0.0
+
+
+class TestMesh:
+    def test_make_mesh_and_shard(self):
+        mesh = make_mesh()
+        assert mesh.shape["data"] == 8
+        x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+        xs = shard_batch(mesh, x)
+        assert xs.sharding.num_devices == 8
+        np.testing.assert_array_equal(np.asarray(xs), x)
+
+    def test_indivisible_batch_raises(self):
+        mesh = make_mesh()
+        with pytest.raises(ValueError):
+            shard_batch(mesh, np.zeros((3, 2)))
+
+
+class TestConfig:
+    def test_flag_parse_reference_names(self):
+        from deepfluids_tpu.config import get_config
+
+        c = get_config([
+            "--arch", "ae", "--is_train", "False", "--w1", "2.0",
+            "--use_curl", "false", "--res_x", "96", "--is_3d", "true",
+            "--batch_size", "4", "--load_path", "/tmp/x",
+        ])
+        assert c.arch == "ae" and not c.is_train and c.w1 == 2.0
+        assert not c.use_curl and c.res_x == 96 and c.is_3d
+        assert c.batch_size == 4 and c.load_path == "/tmp/x"
+
+    def test_save_load_roundtrip(self, tmp_path):
+        c = Config(arch="nn", w2=3.5)
+        save_config(c, str(tmp_path))
+        c2 = load_config(str(tmp_path))
+        assert c2 == c
+
+
+class TestTrainerDE:
+    def test_loss_decreases_and_metrics(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path))
+        t = Trainer(c)
+        first = t.train(num_steps=2)
+        later = t.train(num_steps=40)
+        assert later["loss"] < first["loss"]
+        assert os.path.exists(os.path.join(t.run_dir, "metrics.jsonl"))
+        assert os.path.exists(os.path.join(t.run_dir, "params.json"))
+        # generate: correct shape, finite
+        p = np.zeros((4, 3), np.float32)
+        fields = t.generate(p)
+        assert fields.shape == (4, 32, 32, 2)
+        assert np.isfinite(fields).all()
+
+    def test_checkpoint_roundtrip(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="ckpt")
+        t = Trainer(c)
+        t.train(num_steps=3)
+        t.save_checkpoint()
+        params_before = jax.device_get(t.state.params)
+
+        t2 = Trainer(c, run_dir=t.run_dir)
+        step = t2.restore_checkpoint()
+        assert step == 3
+        params_after = jax.device_get(t2.state.params)
+        jax.tree.map(np.testing.assert_array_equal, params_before,
+                     params_after)
+        assert int(t2.state.step) == 3
+
+
+class TestTrainerAE:
+    def test_ae_step_and_latent_supervision(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), arch="ae", tag="ae")
+        t = Trainer(c)
+        aux = t.train(num_steps=5)
+        assert "loss_param" in aux and np.isfinite(aux["loss"])
+        x, _ = t.bm.sample_batch()
+        recon = t.reconstruct(x[:2])
+        assert recon.shape == x[:2].shape
+        z = t.encode(x[:2])
+        assert z.shape == (2, c.z_num)
+
+
+class TestTrainerNN:
+    def test_nn_arch_end_to_end(self, tiny_dataset, tmp_path):
+        # AE first (needed for the code set), then the integrator.
+        c_ae = tiny_config(tiny_dataset, str(tmp_path), arch="ae", tag="ae2")
+        t_ae = Trainer(c_ae)
+        t_ae.train(num_steps=2)
+
+        from deepfluids_tpu.infer import encode_dataset
+
+        code_dir = encode_dataset(t_ae.encode, c_ae.dataset_dir, c_ae.z_num,
+                                  batch_size=8)
+        assert len(os.listdir(code_dir)) == 4  # 2x2 scenes
+
+        c_nn = tiny_config(tiny_dataset, str(tmp_path), arch="nn", tag="nn",
+                           w_num=3, batch_size=8)
+        t_nn = Trainer(c_nn)
+        aux = t_nn.train(num_steps=5)
+        assert np.isfinite(aux["loss"])
