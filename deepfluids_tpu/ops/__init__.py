@@ -19,6 +19,8 @@ from deepfluids_tpu.ops.fd import (
 from deepfluids_tpu.ops.pallas_fd import (
     curl2d_fused,
     jacobian2d_fused,
+    curl3d_fused,
+    jacobian3d_fused,
     use_pallas,
 )
 
@@ -33,5 +35,7 @@ __all__ = [
     "vorticity3d",
     "curl2d_fused",
     "jacobian2d_fused",
+    "curl3d_fused",
+    "jacobian3d_fused",
     "use_pallas",
 ]

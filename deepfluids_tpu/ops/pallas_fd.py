@@ -132,7 +132,9 @@ def _jacobian2d_kernel(x_ref, j_ref, w_ref):
 
 @jax.jit
 def jacobian2d_fused(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas-fused :func:`deepfluids_tpu.ops.fd.jacobian2d` (4D input)."""
+    """Pallas-fused :func:`deepfluids_tpu.ops.fd.jacobian2d` (4D input).
+
+    See :func:`deepfluids_tpu.ops.fd.jacobian2d` for semantics."""
     b, h, w, _ = x.shape
     xc = jnp.moveaxis(x, -1, 1)  # [B, 2, H, W]
     j, vort = pl.pallas_call(
@@ -154,4 +156,117 @@ def jacobian2d_fused(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         ),
         interpret=_interpret(),
     )(xc)
+    return jnp.moveaxis(j, 1, -1), jnp.moveaxis(vort, 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# 3D kernels.  Volumes are processed in NC DHW layout with (H, W) on the
+# (sublane, lane) axes; the z-derivative walks depth slices with a fori_loop
+# (D is small — 32 for the reference 3D grid).  VMEM budget at 112x64x32 f32
+# (0.92 MB per channel-volume): curl3 keeps in(3ch)+out(3ch) = 5.5 MB per
+# program; jacobian3 grids over (batch, source channel) so each program
+# holds 1 input channel + its 3 derivative components = 3.7 MB — both fit
+# with double buffering in 16 MB VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _fd_z(vol_ref, ci, d, D):
+    """Forward z-difference of channel ``ci`` at depth slice ``d``.
+
+    Edge replication: the last slice reuses the previous difference, i.e.
+    d_eff = min(d, D-2), out = vol[d_eff+1] - vol[d_eff].
+    """
+    d_eff = jnp.minimum(d, D - 2)
+    a = vol_ref[0, ci, d_eff + 1, :, :].astype(jnp.float32)
+    b = vol_ref[0, ci, d_eff, :, :].astype(jnp.float32)
+    return a - b
+
+
+def _curl3d_kernel(psi_ref, out_ref):
+    """u = dc/dy - db/dz, v = da/dz - dc/dx, w = db/dx - da/dy."""
+    D = psi_ref.shape[2]
+    dt = out_ref.dtype
+
+    def body(d, _):
+        a = psi_ref[0, 0, d, :, :].astype(jnp.float32)
+        b = psi_ref[0, 1, d, :, :].astype(jnp.float32)
+        c = psi_ref[0, 2, d, :, :].astype(jnp.float32)
+        dadz = _fd_z(psi_ref, 0, d, D)
+        dbdz = _fd_z(psi_ref, 1, d, D)
+        out_ref[0, 0, d, :, :] = (_fd_first(c) - dbdz).astype(dt)
+        out_ref[0, 1, d, :, :] = (dadz - _fd_last(c)).astype(dt)
+        out_ref[0, 2, d, :, :] = (_fd_last(b) - _fd_first(a)).astype(dt)
+        return 0
+
+    jax.lax.fori_loop(0, D, body, 0)
+
+
+@jax.jit
+def curl3d_fused(psi: jnp.ndarray) -> jnp.ndarray:
+    """Pallas-fused :func:`deepfluids_tpu.ops.fd.curl3d`.
+
+    Args:
+      psi: ``[B, D, H, W, 3]`` vector potential (batched; exactly 5D).
+    Returns:
+      ``[B, D, H, W, 3]`` velocity (u, v, w).
+    """
+    b, d, h, w, _ = psi.shape
+    pc = jnp.moveaxis(psi, -1, 1)  # [B, 3, D, H, W]
+    out = pl.pallas_call(
+        _curl3d_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, d, h, w), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, d, h, w), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, d, h, w), psi.dtype),
+        interpret=_interpret(),
+    )(pc)
+    return jnp.moveaxis(out, 1, -1)
+
+
+def _jacobian3d_kernel(x_ref, j_ref):
+    """One source channel -> its (d/dx, d/dy, d/dz) derivative volumes."""
+    D = x_ref.shape[2]
+    dt = j_ref.dtype
+
+    def body(d, _):
+        s = x_ref[0, 0, d, :, :].astype(jnp.float32)
+        j_ref[0, 0, d, :, :] = _fd_last(s).astype(dt)            # d/dx
+        j_ref[0, 1, d, :, :] = _fd_first(s).astype(dt)           # d/dy
+        j_ref[0, 2, d, :, :] = _fd_z(x_ref, 0, d, D).astype(dt)  # d/dz
+        return 0
+
+    jax.lax.fori_loop(0, D, body, 0)
+
+
+@jax.jit
+def jacobian3d_fused(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas-fused :func:`deepfluids_tpu.ops.fd.jacobian3d` (5D input).
+
+    Returns (J [B,D,H,W,9] in the oracle's source-channel-major order
+    (dudx, dudy, dudz, dvdx, ...), vort [B,D,H,W,3]).  The vorticity is
+    assembled from J slices outside the kernel (3 subtractions XLA fuses
+    into the transpose back to channels-last).
+    """
+    b, d, h, w, _ = x.shape
+    xc = jnp.moveaxis(x, -1, 1)  # [B, 3, D, H, W]
+    j = pl.pallas_call(
+        _jacobian3d_kernel,
+        grid=(b, 3),
+        in_specs=[
+            pl.BlockSpec((1, 1, d, h, w), lambda i, c: (i, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, d, h, w), lambda i, c: (i, c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 9, d, h, w), x.dtype),
+        interpret=_interpret(),
+    )(xc)
+    # vort = (dwdy - dvdz, dudz - dwdx, dvdx - dudy) = rows (7-5, 2-6, 3-1)
+    vort = jnp.stack(
+        [j[:, 7] - j[:, 5], j[:, 2] - j[:, 6], j[:, 3] - j[:, 1]], axis=1
+    )
     return jnp.moveaxis(j, 1, -1), jnp.moveaxis(vort, 1, -1)

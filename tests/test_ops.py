@@ -165,3 +165,29 @@ class TestPallasParity:
         wj, ww = ops.jacobian2d(x)
         np.testing.assert_allclose(np.asarray(gj), np.asarray(wj), atol=1e-6)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(ww), atol=1e-6)
+
+    @pytest.mark.parametrize("shape", [(2, 6, 10, 12), (1, 8, 16, 16)])
+    def test_curl3d_fused(self, shape):
+        rng = np.random.default_rng(6)
+        b, d, h, w = shape
+        psi = jnp.asarray(rng.standard_normal((b, d, h, w, 3)), jnp.float32)
+        got = np.asarray(ops.curl3d_fused(psi))
+        want = np.asarray(ops.curl3d(psi))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.parametrize("shape", [(2, 6, 10, 12)])
+    def test_jacobian3d_fused(self, shape):
+        rng = np.random.default_rng(7)
+        b, d, h, w = shape
+        x = jnp.asarray(rng.standard_normal((b, d, h, w, 3)), jnp.float32)
+        gj, gw = ops.jacobian3d_fused(x)
+        wj, ww = ops.jacobian3d(x)
+        np.testing.assert_allclose(np.asarray(gj), np.asarray(wj), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(ww), atol=1e-6)
+
+    def test_curl3d_fused_divfree(self):
+        rng = np.random.default_rng(8)
+        psi = jnp.asarray(rng.standard_normal((1, 8, 12, 16, 3)), jnp.float32)
+        u = ops.curl3d_fused(psi)
+        div = np.asarray(ops.divergence3d(u))[:, :-2, :-2, :-2]
+        np.testing.assert_allclose(div, 0.0, atol=1e-5)

@@ -174,3 +174,40 @@ class TestTrainerNN:
         t_nn = Trainer(c_nn)
         aux = t_nn.train(num_steps=5)
         assert np.isfinite(aux["loss"])
+
+
+class TestTrainer3D:
+    def test_3d_generator_training(self, tmp_path):
+        # Tiny 3D dataset (config #5 path: 3D curl of a vector potential).
+        scenes.smoke3_vel5_buo3(
+            str(tmp_path / "data"), num_vel=1, num_buo=1, num_frames=4,
+            depth=8, height=16, width=16, name="tiny3d")
+        c = tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"),
+                        dataset="tiny3d", tag="3d", batch_size=8)
+        t = Trainer(c)
+        assert t.manifest.is_3d
+        aux = t.train(num_steps=3)
+        assert np.isfinite(aux["loss"])
+        fields = t.generate(np.zeros((2, 3), np.float32))
+        assert fields.shape == (2, 8, 16, 16, 3)
+        # divergence-free by construction (3D curl applied)
+        from deepfluids_tpu.ops import divergence3d
+
+        div = np.asarray(divergence3d(jnp.asarray(fields)))
+        assert np.abs(div[:, :-2, :-2, :-2]).max() < 1e-3
+
+
+class TestTrainerLevelset:
+    def test_liquid_levelset_training(self, tmp_path):
+        # Config #3 path: scalar levelset fields, no curl, gradient loss.
+        scenes.liquid_pos10_size4(
+            str(tmp_path / "data"), num_pos=2, num_size=1, num_frames=4,
+            height=32, width=32, name="tinyliq")
+        c = tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"),
+                        dataset="tinyliq", tag="liq", data_type="levelset")
+        t = Trainer(c)
+        assert not t.curl_active  # scalar field: curl bypassed
+        aux = t.train(num_steps=3)
+        assert np.isfinite(aux["loss"])
+        fields = t.generate(np.zeros((2, 3), np.float32))
+        assert fields.shape == (2, 32, 32, 1)
