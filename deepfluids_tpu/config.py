@@ -75,6 +75,12 @@ class Config:
     test_batch_size: int = 32
     test_frames: int = 0       # 0 -> manifest num_frames
 
+    # --- observability / debugging (SURVEY.md §5 aux subsystems) ---
+    use_tensorboard: bool = False   # tensorboardX scalars beside metrics.jsonl
+    profile_steps: str = ""         # "start,stop" step range to trace
+    profile_dir: str = ""           # trace output (default <run>/profile)
+    debug_nans: bool = False        # jax_debug_nans for fault isolation
+
     # --- bookkeeping ---
     log_dir: str = "logs"
     tag: str = "tag"
@@ -102,7 +108,8 @@ def get_parser() -> argparse.ArgumentParser:
                   "beta2", "seed", "log_step", "test_step", "save_step",
                   "compute_dtype", "num_data_shards"],
         "test": ["load_path", "test_batch_size", "test_frames"],
-        "misc": ["log_dir", "tag"],
+        "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",
+                 "profile_dir", "debug_nans"],
     }
     for gname, names in groups.items():
         g = p.add_argument_group(gname)

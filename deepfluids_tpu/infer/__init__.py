@@ -16,6 +16,10 @@ from deepfluids_tpu.infer.rollout import (
     encode_dataset,
     rollout_trajectory,
 )
+from deepfluids_tpu.infer.advect import (
+    advect_density,
+    render_density_sweep,
+)
 
 __all__ = [
     "param_grid",
@@ -23,4 +27,6 @@ __all__ = [
     "run_test_sweep",
     "encode_dataset",
     "rollout_trajectory",
+    "advect_density",
+    "render_density_sweep",
 ]

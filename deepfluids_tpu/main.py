@@ -24,7 +24,16 @@ def main(config: Config) -> dict:
 
     trainer = Trainer(config)
     if config.is_train:
-        result = trainer.train()
+        # Resume semantics (SURVEY §5): --load_path on a train run restores
+        # the latest checkpoint and continues toward max_step.
+        done = trainer.maybe_resume() if config.load_path else 0
+        if done:
+            log.info("resuming from step %d", done)
+        if done >= config.max_step:
+            log.info("already at max_step %d; nothing to do",
+                     config.max_step)
+            return {"step": done}
+        result = trainer.train(num_steps=config.max_step - done)
         log.info("training done: %s", result)
         return result
     # --- test / inference (SURVEY §3.2 / §3.4) ---

@@ -13,6 +13,11 @@ from deepfluids_tpu.parallel.mesh import (
     shard_batch,
     DATA_AXIS,
 )
+from deepfluids_tpu.parallel.halo import (
+    curl2d_sharded,
+    jacobian2d_sharded,
+    divergence2d_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +25,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "DATA_AXIS",
+    "curl2d_sharded",
+    "jacobian2d_sharded",
+    "divergence2d_sharded",
 ]

@@ -100,6 +100,23 @@ class Trainer:
         self._train_step = self._make_train_step()
         self._metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
         self._ckpt_mgr = None
+        self._tb = None
+
+        # --- aux subsystems (SURVEY.md §5): NaN debugging, profiler window,
+        # TensorBoard scalars ---
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self._profile_range: tuple[int, int] | None = None
+        if config.profile_steps:
+            lo, hi = (int(s) for s in config.profile_steps.split(","))
+            self._profile_range = (lo, hi)
+        if config.use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(self.run_dir)
+            except Exception as e:
+                log.warning("tensorboardX unavailable: %s", e)
 
     # ------------------------------------------------------------------
     # model / inputs per arch
@@ -215,6 +232,7 @@ class Trainer:
         last_aux: dict[str, Any] = {}
         t0 = time.time()
         seen = 0
+        profiling = False
         with open(self._metrics_path, "a") as mf:
             for a, b in self._batches(num_steps):
                 batch_axis = 1 if c.arch == "nn" else 0
@@ -227,9 +245,19 @@ class Trainer:
                         b = jax.device_put(b, sh)
                     else:
                         a, b = shard_batch(self.mesh, a, b)
-                self.state, aux = self._train_step(self.state, a, b)
                 seen += 1
                 step = start_step + seen
+                if self._profile_range:
+                    lo, hi = self._profile_range
+                    if step == lo and not profiling:
+                        pdir = c.profile_dir or os.path.join(
+                            self.run_dir, "profile")
+                        jax.profiler.start_trace(pdir)
+                        profiling = True
+                    elif step > hi and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                self.state, aux = self._train_step(self.state, a, b)
                 if step % c.log_step == 0 or seen == num_steps:
                     aux = jax.device_get(aux)
                     last_aux = {k: float(v) for k, v in aux.items()}
@@ -238,13 +266,30 @@ class Trainer:
                            **last_aux}
                     mf.write(json.dumps(rec) + "\n")
                     mf.flush()
+                    if self._tb is not None:
+                        for k, v in last_aux.items():
+                            self._tb.add_scalar(k, v, step)
                     log.info("step %d loss %.5f (%.2f it/s)", step,
                              last_aux["loss"], rate)
                 if step % c.test_step == 0:
                     self._dump_samples(step)
                 if step % c.save_step == 0 or seen == num_steps:
                     self.save_checkpoint()
+        if profiling:
+            jax.profiler.stop_trace()
+        if self._tb is not None:
+            self._tb.flush()
         return last_aux
+
+    def maybe_resume(self) -> int:
+        """Auto-resume from the latest checkpoint if one exists (SURVEY §5
+        checkpoint/resume: keep the --load_path UX, recover after crashes).
+
+        Returns the restored step, or 0 when starting fresh."""
+        try:
+            return self.restore_checkpoint()
+        except FileNotFoundError:
+            return 0
 
     # ------------------------------------------------------------------
     # checkpoints (Orbax)
