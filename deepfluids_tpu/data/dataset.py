@@ -48,9 +48,12 @@ class FieldDataset:
         return len(self.files)
 
     def _load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
-        with np.load(self.files[i]) as d:
-            x = d["x"].astype(np.float32)
-            y = d["y"].astype(np.float32)
+        # Native C++ reader (zip walk + zlib inflate, GIL-free) when built;
+        # transparent numpy fallback (deepfluids_tpu.data.native_npz).
+        from deepfluids_tpu.data.native_npz import load_npz_field
+
+        x = load_npz_field(self.files[i], "x")
+        y = load_npz_field(self.files[i], "y")
         return x, y
 
     def get(self, i: int) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,70 @@
+"""Native .npz loader tests: correctness vs numpy, fallback behavior
+(SURVEY.md §3.1 input-bottleneck component)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepfluids_tpu.data import native_npz
+
+
+@pytest.fixture(scope="module")
+def npz_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("npz")
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(6):
+        x = rng.normal(size=(24, 16, 2)).astype(np.float32)
+        y = np.array([0.5, 0.1, float(i)])  # float64 entry
+        p = str(d / f"{i}.npz")
+        np.savez_compressed(p, x=x, y=y)
+        files.append((p, x, y))
+    return files
+
+
+class TestNativeLoader:
+    def test_build_and_availability(self):
+        # g++ + zlib are in the image; the build must succeed here.
+        assert native_npz.native_available()
+
+    def test_single_f32_and_f64(self, npz_files):
+        for p, x, y in npz_files:
+            np.testing.assert_array_equal(native_npz.load_npz_field(p, "x"),
+                                          x)
+            got_y = native_npz.load_npz_field(p, "y")
+            assert got_y.dtype == np.float32
+            np.testing.assert_allclose(got_y, y.astype(np.float32))
+
+    def test_batch(self, npz_files):
+        paths = [p for p, _, _ in npz_files]
+        b = native_npz.load_npz_batch(paths, "x", (24, 16, 2),
+                                      num_threads=4)
+        assert b.shape == (6, 24, 16, 2) and b.dtype == np.float32
+        for i, (_, x, _) in enumerate(npz_files):
+            np.testing.assert_array_equal(b[i], x)
+
+    def test_missing_member_falls_back(self, npz_files, tmp_path):
+        # uncompressed savez (method 0 "stored") must also work
+        p = str(tmp_path / "stored.npz")
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)
+        np.savez(p, x=x)
+        np.testing.assert_array_equal(native_npz.load_npz_field(p, "x"), x)
+
+    def test_field_dataset_uses_it(self, tmp_path):
+        from deepfluids_tpu.data import FieldDataset
+        from deepfluids_tpu.data.manifest import Manifest, save_manifest
+
+        ds_dir = str(tmp_path / "ds")
+        os.makedirs(os.path.join(ds_dir, "v"))
+        x = np.random.default_rng(1).normal(size=(8, 8, 2)).astype(np.float32)
+        np.savez_compressed(os.path.join(ds_dir, "v", "0_0.npz"), x=x,
+                            y=np.zeros(3))
+        save_manifest(Manifest(
+            param_names=["a", "b", "frame"],
+            param_ranges=[[0, 1], [0, 1], [0, 1]], num_scenes=1,
+            num_frames=1, resolution=[8, 8], num_channels=2,
+            v_range=[-1, 1]), ds_dir)
+        ds = FieldDataset(ds_dir)
+        got, _ = ds.get(0)
+        np.testing.assert_array_equal(got, x)
