@@ -10,6 +10,7 @@ rollout is one `lax.scan` so whole trajectories stay on device.
 from deepfluids_tpu.infer.sweep import (
     param_grid,
     sweep_generator,
+    sweep_on_device,
     run_test_sweep,
 )
 from deepfluids_tpu.infer.rollout import (
@@ -24,6 +25,7 @@ from deepfluids_tpu.infer.advect import (
 __all__ = [
     "param_grid",
     "sweep_generator",
+    "sweep_on_device",
     "run_test_sweep",
     "encode_dataset",
     "rollout_trajectory",

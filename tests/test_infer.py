@@ -120,3 +120,20 @@ class TestImages:
         p3 = save_gif(str(tmp_path / "a.gif"), [f, f])
         for p in (p1, p2, p3):
             assert os.path.getsize(p) > 0
+
+
+class TestSweepOnDevice:
+    def test_matches_host_sweep(self, manifest):
+        from deepfluids_tpu.infer.sweep import sweep_on_device
+
+        w = jax.random.normal(jax.random.key(0), (3, 16 * 16 * 2))
+
+        def apply_fn(p):
+            return (p @ w).reshape(-1, 16, 16, 2)
+
+        raw = param_grid(manifest, (3, 2))  # 24 fields, batch 5 -> padding
+        dev = sweep_on_device(apply_fn, manifest, raw, batch_size=5)
+        host = np.concatenate(
+            list(sweep_generator(apply_fn, manifest, raw, batch_size=5)))
+        assert dev.shape == host.shape == (24, 16, 16, 2)
+        np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-5)
