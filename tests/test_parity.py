@@ -1,0 +1,83 @@
+"""Golden-field regression tests — the normalized-L2 < 1e-3 parity gate
+(SURVEY.md §4 "golden-field regression tests"; BASELINE.json north star).
+
+Goldens are committed under tests/golden/ and regenerated only via
+tools/make_goldens.py after INTENTIONAL semantic changes."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfluids_tpu import ops
+from deepfluids_tpu.utils.parity import check_fields, normalized_l2
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+TOL = 1e-3
+
+
+def _load(name):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} missing — run tools/make_goldens.py")
+    return np.load(path)
+
+
+class TestParityMetric:
+    def test_normalized_l2(self):
+        b = np.ones((4, 4))
+        assert normalized_l2(b, b) == 0.0
+        a = b + 1e-4
+        assert 0 < normalized_l2(a, b) < 1e-3
+
+    def test_check_fields(self):
+        b = np.random.default_rng(0).normal(size=(3, 8, 8, 2))
+        res = check_fields(b + 1e-6, b)
+        assert res["passed"] and res["num_failed"] == 0
+        res2 = check_fields(b + 1.0, b, tol=1e-3)
+        assert not res2["passed"]
+
+
+class TestGoldenFD:
+    def test_fd2d(self):
+        g = _load("fd2d.npz")
+        u = np.asarray(ops.curl2d(jnp.asarray(g["psi"])))
+        assert check_fields(u, g["u"], TOL)["passed"]
+        j, w = ops.jacobian2d(jnp.asarray(g["u"]))
+        assert check_fields(np.asarray(j), g["j"], TOL)["passed"]
+        assert check_fields(np.asarray(w), g["w"], TOL)["passed"]
+
+    def test_fd3d(self):
+        g = _load("fd3d.npz")
+        u = np.asarray(ops.curl3d(jnp.asarray(g["psi"])))
+        assert check_fields(u, g["u"], TOL)["passed"]
+        j, w = ops.jacobian3d(jnp.asarray(g["u"]))
+        assert check_fields(np.asarray(j), g["j"], TOL)["passed"]
+        assert check_fields(np.asarray(w), g["w"], TOL)["passed"]
+
+
+class TestGoldenSolver:
+    def test_smoke2d_trajectory(self):
+        from deepfluids_tpu.datagen.smoke2d import (Smoke2DConfig,
+                                                    simulate_smoke2d)
+
+        g = _load("smoke2d.npz")
+        cfg = Smoke2DConfig(height=32, width=24, num_frames=6,
+                            project_iters=20)
+        vt, rt = simulate_smoke2d(jnp.float32(0.5), jnp.float32(0.1), cfg)
+        assert check_fields(np.asarray(vt), g["v"], TOL)["passed"]
+        assert check_fields(np.asarray(rt)[..., None], g["r"][..., None],
+                            TOL)["passed"]
+
+
+class TestGoldenGenerator:
+    def test_generator_forward(self):
+        from deepfluids_tpu.models import GeneratorBE
+
+        g = _load("generator2d.npz")
+        model = GeneratorBE(output_shape=(32, 24, 1), filters=8, num_conv=2)
+        params = model.init(jax.random.PRNGKey(7), jnp.asarray(g["p"]))
+        out = np.asarray(ops.curl2d(model.apply(params, jnp.asarray(g["p"]))))
+        assert check_fields(out, g["u"], TOL)["passed"]
