@@ -69,6 +69,9 @@ class Config:
     save_step: int = 5000
     compute_dtype: str = "bfloat16"   # conv compute dtype on TPU
     num_data_shards: int = 0          # 0 -> all devices on the data mesh axis
+    steps_per_call: int = 1           # train steps fused into one device
+                                      # program (lax.scan over prefetched
+                                      # batches; amortizes dispatch latency)
 
     # --- test / inference ---
     load_path: str = ""
@@ -106,7 +109,7 @@ def get_parser() -> argparse.ArgumentParser:
                  "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "seed", "log_step", "test_step", "save_step",
-                  "compute_dtype", "num_data_shards"],
+                  "compute_dtype", "num_data_shards", "steps_per_call"],
         "test": ["load_path", "test_batch_size", "test_frames"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",
                  "profile_dir", "debug_nans"],

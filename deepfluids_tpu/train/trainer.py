@@ -38,7 +38,6 @@ from deepfluids_tpu.parallel import (
     batch_sharding,
     make_mesh,
     replicated_sharding,
-    shard_batch,
 )
 from deepfluids_tpu.train import losses
 from deepfluids_tpu.train.state import (
@@ -206,12 +205,43 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             bsh = NamedSharding(self.mesh, P(None, "data"))
 
+        self._raw_step = step
+        self._batch_sharding = bsh
+        self._train_multi = None
         return jax.jit(
             step,
             in_shardings=(rep, bsh, bsh),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
+
+    def _get_train_multi(self):
+        """K fused train steps per device program: lax.scan over a stacked
+        chunk of prefetched batches.  One runtime dispatch per K steps —
+        through high-latency runtimes (axon tunnel ~27 ms/call) this is the
+        difference between ~30 and several hundred steps/s at small batch."""
+        if self._train_multi is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = replicated_sharding(self.mesh)
+            spec = self._batch_sharding.spec
+            stacked = NamedSharding(self.mesh, P(None, *spec))
+            raw = self._raw_step
+
+            def multi(state, a_stack, b_stack):
+                def body(st, ab):
+                    st, aux = raw(st, *ab)
+                    return st, aux
+                state, auxs = jax.lax.scan(body, state, (a_stack, b_stack))
+                return state, jax.tree.map(lambda x: x[-1], auxs)
+
+            self._train_multi = jax.jit(
+                multi,
+                in_shardings=(rep, stacked, stacked),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        return self._train_multi
 
     def _batches(self, num_steps: int) -> Iterator[tuple]:
         if self.c.arch in ("de", "ae"):
@@ -233,47 +263,51 @@ class Trainer:
         t0 = time.time()
         seen = 0
         profiling = False
+        k = max(1, c.steps_per_call)
+        it = self._batches(num_steps)
+
+        def crossed(period: int, step: int, take: int) -> bool:
+            return step // period > (step - take) // period
+
         with open(self._metrics_path, "a") as mf:
-            for a, b in self._batches(num_steps):
-                batch_axis = 1 if c.arch == "nn" else 0
-                if a.shape[batch_axis] % self.mesh.shape["data"] == 0:
-                    if c.arch == "nn":
-                        from jax.sharding import (NamedSharding,
-                                                  PartitionSpec as P)
-                        sh = NamedSharding(self.mesh, P(None, "data"))
-                        a = jax.device_put(a, sh)
-                        b = jax.device_put(b, sh)
-                    else:
-                        a, b = shard_batch(self.mesh, a, b)
-                seen += 1
+            while seen < num_steps:
+                take = min(k, num_steps - seen)
+                pairs = [next(it) for _ in range(take)]
+                seen += take
                 step = start_step + seen
                 if self._profile_range:
                     lo, hi = self._profile_range
-                    if step == lo and not profiling:
+                    if not profiling and step >= lo and step - take < hi:
                         pdir = c.profile_dir or os.path.join(
                             self.run_dir, "profile")
                         jax.profiler.start_trace(pdir)
                         profiling = True
-                    elif step > hi and profiling:
+                    elif profiling and step > hi:
                         jax.profiler.stop_trace()
                         profiling = False
-                self.state, aux = self._train_step(self.state, a, b)
-                if step % c.log_step == 0 or seen == num_steps:
+                if take == 1:
+                    self.state, aux = self._train_step(self.state, *pairs[0])
+                else:
+                    a = np.stack([p[0] for p in pairs])
+                    b = np.stack([p[1] for p in pairs])
+                    self.state, aux = self._get_train_multi()(
+                        self.state, a, b)
+                if crossed(c.log_step, step, take) or seen == num_steps:
                     aux = jax.device_get(aux)
-                    last_aux = {k: float(v) for k, v in aux.items()}
+                    last_aux = {k2: float(v) for k2, v in aux.items()}
                     rate = seen / (time.time() - t0)
                     rec = {"step": step, "steps_per_sec": round(rate, 3),
                            **last_aux}
                     mf.write(json.dumps(rec) + "\n")
                     mf.flush()
                     if self._tb is not None:
-                        for k, v in last_aux.items():
-                            self._tb.add_scalar(k, v, step)
+                        for k2, v in last_aux.items():
+                            self._tb.add_scalar(k2, v, step)
                     log.info("step %d loss %.5f (%.2f it/s)", step,
                              last_aux["loss"], rate)
-                if step % c.test_step == 0:
+                if crossed(c.test_step, step, take):
                     self._dump_samples(step)
-                if step % c.save_step == 0 or seen == num_steps:
+                if crossed(c.save_step, step, take) or seen == num_steps:
                     self.save_checkpoint()
         if profiling:
             jax.profiler.stop_trace()

@@ -211,3 +211,30 @@ class TestTrainerLevelset:
         assert np.isfinite(aux["loss"])
         fields = t.generate(np.zeros((2, 3), np.float32))
         assert fields.shape == (2, 32, 32, 1)
+
+
+class TestMultiStep:
+    def test_steps_per_call_matches_single(self, tiny_dataset, tmp_path):
+        # Same seed -> same batch sequence; k=2 scanned steps must land on
+        # (numerically) the same params as two single steps.
+        c1 = tiny_config(tiny_dataset, str(tmp_path), tag="s1")
+        t1 = Trainer(c1)
+        t1.train(num_steps=4)
+
+        c2 = tiny_config(tiny_dataset, str(tmp_path), tag="s2",
+                         steps_per_call=2)
+        t2 = Trainer(c2)
+        aux = t2.train(num_steps=4)
+        assert int(t2.state.step) == 4
+        assert np.isfinite(aux["loss"])
+        p1 = jax.device_get(t1.state.params)
+        p2 = jax.device_get(t2.state.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), p1, p2)
+
+    def test_remainder_chunk(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="s3",
+                        steps_per_call=4)
+        t = Trainer(c)
+        t.train(num_steps=6)  # one chunk of 4 + remainder 2
+        assert int(t.state.step) == 6

@@ -1,0 +1,196 @@
+"""Extended benchmark suite — one surface per invocation (compiles through
+the axon tunnel are slow, so each metric runs in its own process).
+
+Usage: python tools/bench_suite.py <name>
+  infer2d    scanned-sweep generator inference, 128x96 (the bench.py metric)
+  infer3d    3D generator inference, 112x64x32 vector potential + curl3
+  train2d    full-size 2D train step (curl + jacobian loss), batch 8
+  rollout    latent integrator lax.scan rollout, z_num=16, batch 100
+  rollout_decode  rollout + per-step field decode (the ae+nn test workload)
+
+Appends one JSON line per run to BENCHMARKS.jsonl at the repo root.
+All timings force a per-call host fetch (see bench.py `_measure`).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def timeit(f, *args, iters=5, warmup=2):
+    for _ in range(warmup):
+        float(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(f(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_infer2d():
+    import __graft_entry__ as ge
+
+    fn, (params, _) = ge.entry()
+
+    @jax.jit
+    def jfn(params, chunks):
+        def step(c, p):
+            return c + jnp.sum(fn(params, p)), None
+        return jax.lax.scan(step, jnp.float32(0), chunks)[0]
+
+    chunks = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (16, 512, 3)).astype(np.float32))
+    dt = timeit(jfn, params, chunks)
+    n = 16 * 512
+    return {"metric": "2d_fields_per_sec", "value": round(n / dt, 1),
+            "detail": "128x96 scanned sweep 16x512"}
+
+
+def bench_infer3d():
+    from deepfluids_tpu.models import GeneratorBE
+    from deepfluids_tpu.ops import curl3d
+
+    model = GeneratorBE(output_shape=(32, 64, 112, 3), filters=128,
+                        num_conv=4, dtype=jnp.bfloat16)
+    p0 = jnp.zeros((1, 3))
+    params = model.init(jax.random.PRNGKey(0), p0)["params"]
+
+    B, K = 32, 4
+
+    @jax.jit
+    def jfn(params, chunks):
+        def step(c, p):
+            u = curl3d(model.apply({"params": params}, p))
+            return c + jnp.sum(u), None
+        return jax.lax.scan(step, jnp.float32(0), chunks)[0]
+
+    chunks = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (K, B, 3)).astype(np.float32))
+    dt = timeit(jfn, params, chunks, iters=3)
+    return {"metric": "3d_fields_per_sec", "value": round(K * B / dt, 1),
+            "detail": "112x64x32 vector potential + curl3, scan 4x32"}
+
+
+def bench_train2d():
+    from deepfluids_tpu.models import GeneratorBE
+    from deepfluids_tpu.train import generator_loss
+    from deepfluids_tpu.train.state import create_train_state, make_optimizer
+
+    B = 8
+    model = GeneratorBE(output_shape=(128, 96, 1), filters=128, num_conv=4,
+                        dtype=jnp.bfloat16)
+    tx = make_optimizer(1e-4, 1e-5, 1000)
+    state = create_train_state(jax.random.PRNGKey(0), model,
+                               (jnp.zeros((1, 3)),), tx)
+
+    def step(state, x, y):
+        def loss_fn(p):
+            out = state.apply_fn({"params": p}, y)
+            return generator_loss(out, x, True, 1.0, 1.0)[0]
+        l, g = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=g), l
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 128, 96, 2)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    s, l = jstep(state, x, y)
+    float(l)
+    s, l = jstep(s, x, y)
+    float(l)
+    N = 10
+    t0 = time.perf_counter()
+    for _ in range(N):
+        s, l = jstep(s, x, y)
+        float(l)
+    dt = (time.perf_counter() - t0) / N
+    return {"metric": "2d_train_steps_per_sec", "value": round(1 / dt, 1),
+            "detail": f"batch {B}, curl+jacobian loss, Adam"}
+
+
+def bench_rollout():
+    from deepfluids_tpu.models import LatentIntegrator
+    from deepfluids_tpu.models.latent import rollout
+
+    T, B, Z, P = 200, 100, 16, 2
+    m = LatentIntegrator(z_num=Z, num_param=P, hidden=512, depth=2)
+    zf = jnp.zeros((B, Z - P))
+    dp = jnp.zeros((B, P))
+    params = m.init(jax.random.PRNGKey(0), zf, dp)
+    apply_fn = lambda p, z, d: m.apply(p, z, d)
+    p_seq = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (T, B, P)).astype(np.float32))
+    z0 = jnp.concatenate([p_seq[0], zf], axis=-1)
+
+    @jax.jit
+    def jfn(params, z0, p_seq):
+        return jnp.sum(rollout(apply_fn, params, z0, p_seq, P))
+
+    dt = timeit(jfn, params, z0, p_seq)
+    return {"metric": "rollout_steps_per_sec",
+            "value": round(T * B / dt, 1),
+            "detail": f"T={T} scan x batch {B}, z_num={Z}, MLP 512x2"}
+
+
+def bench_rollout_decode():
+    from deepfluids_tpu.models import GeneratorBE, LatentIntegrator
+    from deepfluids_tpu.models.latent import rollout
+    from deepfluids_tpu.ops import curl2d
+
+    T, B, Z, P = 200, 5, 16, 2
+    m = LatentIntegrator(z_num=Z, num_param=P, hidden=512, depth=2)
+    dec = GeneratorBE(output_shape=(128, 96, 1), filters=128, num_conv=4,
+                      dtype=jnp.bfloat16)
+    zf = jnp.zeros((B, Z - P))
+    dp = jnp.zeros((B, P))
+    params = m.init(jax.random.PRNGKey(0), zf, dp)
+    dparams = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, Z)))["params"]
+    apply_fn = lambda p, z, d: m.apply(p, z, d)
+    p_seq = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (T, B, P)).astype(np.float32))
+    z0 = jnp.concatenate([p_seq[0], zf], axis=-1)
+
+    @jax.jit
+    def jfn(params, dparams, z0, p_seq):
+        traj = rollout(apply_fn, params, z0, p_seq, P)  # [T, B, Z]
+
+        def step(c, z):
+            u = curl2d(dec.apply({"params": dparams}, z))
+            return c + jnp.sum(u), None
+        return jax.lax.scan(step, jnp.float32(0), traj)[0]
+
+    dt = timeit(jfn, params, dparams, z0, p_seq, iters=3)
+    return {"metric": "rollout_decode_steps_per_sec",
+            "value": round(T * B / dt, 1),
+            "detail": f"T={T} x batch {B}: integrate + decode 128x96 + curl"}
+
+
+BENCHES = {
+    "infer2d": bench_infer2d,
+    "infer3d": bench_infer3d,
+    "train2d": bench_train2d,
+    "rollout": bench_rollout,
+    "rollout_decode": bench_rollout_decode,
+}
+
+
+def main():
+    name = sys.argv[1]
+    rec = BENCHES[name]()
+    rec["backend"] = jax.default_backend()
+    rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
