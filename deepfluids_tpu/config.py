@@ -75,6 +75,7 @@ class Config:
 
     # --- test / inference ---
     load_path: str = ""
+    ae_load_path: str = ""     # AE run dir for arch=nn rollout decoding
     test_batch_size: int = 32
     test_frames: int = 0       # 0 -> manifest num_frames
 
@@ -110,7 +111,8 @@ def get_parser() -> argparse.ArgumentParser:
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "seed", "log_step", "test_step", "save_step",
                   "compute_dtype", "num_data_shards", "steps_per_call"],
-        "test": ["load_path", "test_batch_size", "test_frames"],
+        "test": ["load_path", "ae_load_path", "test_batch_size",
+                 "test_frames"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",
                  "profile_dir", "debug_nans"],
     }

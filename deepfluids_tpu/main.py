@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import sys
 
+import jax.numpy as jnp
 import numpy as np
 
 from deepfluids_tpu.config import Config, get_config
@@ -20,7 +21,11 @@ log = get_logger()
 
 def main(config: Config) -> dict:
     np.random.seed(config.seed)
+    from deepfluids_tpu.parallel.mesh import init_distributed
     from deepfluids_tpu.train.trainer import Trainer
+
+    if init_distributed():
+        log.info("multi-host initialized")
 
     trainer = Trainer(config)
     if config.is_train:
@@ -67,9 +72,40 @@ def main(config: Config) -> dict:
                                   batch_size=config.test_batch_size)
         log.info("encoded dataset -> %s", code_dir)
         return {"code_dir": code_dir}
-    raise SystemExit(
-        "arch 'nn' test requires an AE checkpoint for decoding; use the "
-        "rollout API (deepfluids_tpu.infer.rollout_trajectory) directly.")
+    # --- arch nn: latent rollout + AE decode (SURVEY §3.4 test path) ---
+    if not config.ae_load_path:
+        raise SystemExit("arch 'nn' test needs --ae_load_path "
+                         "(the trained autoencoder's run dir)")
+    import dataclasses
+
+    from deepfluids_tpu.infer import rollout_trajectory
+    from deepfluids_tpu.utils import save_gif
+
+    ae_config = dataclasses.replace(config, arch="ae", is_train=True,
+                                    load_path="")
+    ae = Trainer(ae_config, run_dir=config.ae_load_path)
+    ae.restore_checkpoint()
+
+    # Roll the first code sequence forward from its initial latent.
+    z_seq = trainer.codes.z[0]                      # [T, z_num]
+    p_raw_first = trainer.codes.manifest.denormalize_params(
+        trainer.codes.p[0])                         # [T, P] raw
+    T = config.test_frames or z_seq.shape[0]
+    apply_fn = lambda p, zf, dp: trainer.state.apply_fn({"params": p},
+                                                        zf, dp)
+    z_traj, fields = rollout_trajectory(
+        apply_fn, trainer.state.params,
+        lambda z: jnp.asarray(ae.decode(np.asarray(z))),
+        z_seq[:1], p_raw_first[:T], trainer.manifest,
+        decode_batch=config.test_batch_size)
+    np.savez_compressed(os.path.join(out_dir, "rollout.npz"),
+                        z=z_traj, x=fields[:, 0])
+    mode = ("levelset" if trainer.manifest.num_channels == 1
+            else "vorticity")
+    save_gif(os.path.join(out_dir, "rollout.gif"),
+             [f for f in fields[:, 0]], mode)
+    log.info("rollout of %d steps -> %s", T, out_dir)
+    return {"rollout_steps": int(T), "out_dir": out_dir}
 
 
 if __name__ == "__main__":

@@ -79,3 +79,21 @@ def shard_batch(mesh: Mesh, *arrays):
             )
         out.append(jax.device_put(a, sh))
     return out[0] if len(out) == 1 else tuple(out)
+
+
+def init_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a pod scheduler.
+
+    SURVEY.md §5 "Distributed comm backend": `jax.distributed.initialize`
+    wires hosts together so `jax.devices()` spans the slice and the mesh
+    helpers above shard over every chip; collectives ride ICI within a
+    slice and DCN across slices.  No-ops (returns False) in single-process
+    runs — safe to call unconditionally from main().
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
