@@ -1,0 +1,74 @@
+"""Optional grain-backed input pipeline.
+
+BASELINE.json's north star [B] names "a sharded grain/tf.data loader
+feeding pmapped training"; this provides the grain path as an alternative
+to the in-repo BatchManager (which remains the default — the datasets fit
+in host RAM and the native C++ reader already hides decompress latency).
+
+Grain gives: deterministic global shuffling across epochs, per-host
+sharding for multi-host training (each host reads only its slice), and
+worker-process prefetch for datasets too large to cache.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+
+from deepfluids_tpu.data.dataset import FieldDataset
+
+
+class _FieldSource:
+    """grain RandomAccessDataSource over a FieldDataset (normalized)."""
+
+    def __init__(self, dataset_dir: str, field_key: str = "v"):
+        self.ds = FieldDataset(dataset_dir, cache=False, field_key=field_key)
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        x, y = self.ds.get_normalized(int(i))
+        return {"x": x, "y": y}
+
+
+def make_grain_loader(
+    dataset_dir: str,
+    batch_size: int,
+    seed: int = 0,
+    field_key: str = "v",
+    num_epochs: int | None = None,
+    worker_count: int = 4,
+    shard_index: int = 0,
+    shard_count: int = 1,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (x [B, ...], y [B, P]) batches through grain.
+
+    Args:
+      shard_index/shard_count: per-host sharding for multi-host training
+        (pass jax.process_index()/jax.process_count()).
+    Raises ImportError if grain isn't installed — callers fall back to
+    BatchManager.
+    """
+    import grain.python as grain
+
+    source = _FieldSource(dataset_dir, field_key)
+    sampler = grain.IndexSampler(
+        num_records=len(source),
+        shard_options=grain.ShardOptions(shard_index=shard_index,
+                                         shard_count=shard_count,
+                                         drop_remainder=True),
+        shuffle=True,
+        num_epochs=num_epochs,
+        seed=seed,
+    )
+    loader = grain.DataLoader(
+        data_source=source,
+        sampler=sampler,
+        operations=[grain.Batch(batch_size=batch_size,
+                                drop_remainder=True)],
+        worker_count=worker_count,
+    )
+    for rec in loader:
+        yield rec["x"], rec["y"]

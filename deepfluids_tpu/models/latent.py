@@ -57,6 +57,7 @@ def rollout(
     z0: jnp.ndarray,
     p_seq: jnp.ndarray,
     num_param: int,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Advance a latent code through time with the integrator via lax.scan.
 
@@ -69,6 +70,9 @@ def rollout(
       p_seq: ``[T, B, num_param]`` known normalized parameter trajectory,
         with ``p_seq[0]`` matching ``z0[:, :num_param]``.
       num_param: size of the supervised front block of z.
+      remat: rematerialize each step under grad — O(1) activation memory
+        for long training windows (SURVEY.md §7 "Hard parts": watch
+        rematerialization cost for w=30) at the price of a second forward.
 
     Returns:
       ``[T, B, z_num]`` latent trajectory (z_0 included as step 0).
@@ -82,6 +86,8 @@ def rollout(
         z = jnp.concatenate([p_next, z_free], axis=-1)
         return z_free, z
 
+    if remat:
+        step = jax.checkpoint(step)
     _, traj = jax.lax.scan(step, z_free0, (dp_seq, p_seq[1:]))
     z_first = jnp.concatenate([p_seq[0], z_free0], axis=-1)[None]
     return jnp.concatenate([z_first, traj], axis=0)

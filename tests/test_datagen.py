@@ -142,3 +142,16 @@ class TestLiquidScene:
         ds = FieldDataset(out, field_key="l")
         x, y = ds.get(0)
         assert x.shape == (32, 32, 1)
+
+
+class TestGrainLoader:
+    def test_grain_batches(self, tiny_smoke_dataset):
+        pytest.importorskip("grain")
+        from deepfluids_tpu.data.grain_loader import make_grain_loader
+
+        it = make_grain_loader(tiny_smoke_dataset, batch_size=4, seed=0,
+                               num_epochs=1, worker_count=0)
+        x, y = next(iter(it))
+        assert x.shape == (4, 32, 32, 2)
+        assert y.shape == (4, 3)
+        assert np.abs(x).max() <= 1.0 + 1e-6

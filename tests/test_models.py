@@ -136,3 +136,38 @@ class TestLatentIntegrator:
         g = jax.jit(jax.grad(loss))(params)
         leaves = jax.tree.leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestAutoencoder3D:
+    def test_3d_roundtrip(self):
+        model = Autoencoder(output_shape=(8, 16, 16, 3), z_num=8, filters=8,
+                            num_conv=1)
+        x = jax.random.normal(jax.random.key(0), (2, 8, 16, 16, 3))
+        params = model.init(jax.random.key(1), x)
+        psi, z = model.apply(params, x)
+        assert z.shape == (2, 8)
+        assert psi.shape == (2, 8, 16, 16, 3)
+        u = ops.curl3d(psi)
+        div = np.asarray(ops.divergence3d(u))[:, :-2, :-2, :-2]
+        np.testing.assert_allclose(div, 0.0, atol=1e-4)
+
+
+class TestRolloutRemat:
+    def test_remat_matches_plain(self):
+        m = LatentIntegrator(z_num=8, num_param=2, hidden=16, depth=1)
+        zf = jnp.ones((2, 6))
+        dp = jnp.zeros((2, 2))
+        params = m.init(jax.random.key(0), zf, dp)
+        apply_fn = lambda p, z, d: m.apply(p, z, d)
+        p_seq = jnp.linspace(0, 1, 8)[:, None, None] * jnp.ones((8, 2, 2))
+        z0 = jnp.concatenate([p_seq[0], zf], axis=-1)
+
+        plain = rollout(apply_fn, params, z0, p_seq, 2)
+        rm = rollout(apply_fn, params, z0, p_seq, 2, remat=True)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(rm),
+                                   atol=1e-6)
+        # gradients flow through the remat path
+        g = jax.grad(lambda p: jnp.sum(
+            rollout(apply_fn, p, z0, p_seq, 2, remat=True) ** 2))(params)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(g))
