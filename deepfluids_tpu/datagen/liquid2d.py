@@ -88,3 +88,9 @@ def simulate_liquid2d(pos_x, radius, cfg: Liquid2DConfig):
         body, (vel0, phi0), None, length=cfg.num_frames
     )
     return phit, velt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def simulate_liquid2d_batch(pos_x, radius, cfg: Liquid2DConfig):
+    """Vectorized liquid scene sweep (see smoke2d.simulate_smoke2d_batch)."""
+    return jax.vmap(lambda p, r: simulate_liquid2d(p, r, cfg))(pos_x, radius)

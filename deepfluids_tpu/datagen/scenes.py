@@ -38,27 +38,41 @@ def _save_frames(out_dir, key, scene_idx, fields, params_per_frame):
         )
 
 
+def _auto_scene_batch(tpu_default: int) -> int:
+    """Scenes solved per device program: mantaflow ran one C++ scene at a
+    time; on TPU we vmap a chunk of scenes through one compiled solver
+    (jit-compile once, amortize dispatch). 1 on CPU keeps tests light."""
+    return tpu_default if jax.default_backend() == "tpu" else 1
+
+
 def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
                       num_frames: int = 200, height: int = 128,
-                      width: int = 96, name: str | None = None) -> str:
+                      width: int = 96, name: str | None = None,
+                      scene_batch: int = 0) -> str:
     """2D smoke plume: source x-position x source radius grid.
 
     Reference scene smoke_pos21_size5 (SURVEY §2): 21 x 5 x 200 frames on a
     128x96 grid; params p = [pos_x, radius, frame].
     """
+    from deepfluids_tpu.datagen.smoke2d import simulate_smoke2d_batch
+
     name = name or f"smoke_pos{num_pos}_size{num_size}"
     out_dir = os.path.join(out_root, name)
     cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames)
     positions = np.linspace(0.2, 0.8, num_pos)
     radii = np.linspace(0.04, 0.12, num_size)
+    sb = scene_batch or _auto_scene_batch(15)
 
+    scene_list = [(i, j, px, r) for i, px in enumerate(positions)
+                  for j, r in enumerate(radii)]
     v_min, v_max = np.inf, -np.inf
-    for i, px in enumerate(positions):
-        for j, r in enumerate(radii):
-            vt, rt = simulate_smoke2d(
-                jnp.float32(px), jnp.float32(r), cfg
-            )
-            vt = np.asarray(vt)
+    for k in range(0, len(scene_list), sb):
+        chunk = scene_list[k:k + sb]
+        pxs = jnp.asarray([c[2] for c in chunk], jnp.float32)
+        rs = jnp.asarray([c[3] for c in chunk], jnp.float32)
+        vts, rts = simulate_smoke2d_batch(pxs, rs, cfg)
+        vts, rts = np.asarray(vts), np.asarray(rts)
+        for (i, j, px, r), vt, rt in zip(chunk, vts, rts):
             v_min = min(v_min, float(vt.min()))
             v_max = max(v_max, float(vt.max()))
             params = np.stack(
@@ -66,8 +80,7 @@ def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
                  np.arange(num_frames, dtype=np.float64)], axis=1
             )
             _save_frames(out_dir, "v", (i, j), vt, params)
-            _save_frames(out_dir, "d", (i, j), np.asarray(rt)[..., None],
-                         params)
+            _save_frames(out_dir, "d", (i, j), rt[..., None], params)
 
     save_manifest(Manifest(
         param_names=["src_x_pos", "src_radius", "frame"],
@@ -141,18 +154,25 @@ def liquid_pos10_size4(out_root: str, num_pos: int = 10, num_size: int = 4,
     Reference scene liquid_pos10_size4 (SURVEY §2) — the
     ``--data_type=levelset`` path; also dumps velocity under ``v/``.
     """
+    from deepfluids_tpu.datagen.liquid2d import simulate_liquid2d_batch
+
     name = name or f"liquid_pos{num_pos}_size{num_size}"
     out_dir = os.path.join(out_root, name)
     cfg = Liquid2DConfig(height=height, width=width, num_frames=num_frames)
     positions = np.linspace(0.25, 0.75, num_pos)
     radii = np.linspace(0.06, 0.15, num_size)
+    sb = _auto_scene_batch(10)
 
+    scene_list = [(i, j, px, r) for i, px in enumerate(positions)
+                  for j, r in enumerate(radii)]
     l_min, l_max = np.inf, -np.inf
-    for i, px in enumerate(positions):
-        for j, r in enumerate(radii):
-            phit, velt = simulate_liquid2d(jnp.float32(px), jnp.float32(r),
-                                           cfg)
-            phit = np.asarray(phit)
+    for k in range(0, len(scene_list), sb):
+        chunk = scene_list[k:k + sb]
+        pxs = jnp.asarray([c[2] for c in chunk], jnp.float32)
+        rs = jnp.asarray([c[3] for c in chunk], jnp.float32)
+        phits, velts = simulate_liquid2d_batch(pxs, rs, cfg)
+        phits, velts = np.asarray(phits), np.asarray(velts)
+        for (i, j, px, r), phit, velt in zip(chunk, phits, velts):
             l_min = min(l_min, float(phit.min()))
             l_max = max(l_max, float(phit.max()))
             params = np.stack(
@@ -160,7 +180,7 @@ def liquid_pos10_size4(out_root: str, num_pos: int = 10, num_size: int = 4,
                  np.arange(num_frames, dtype=np.float64)], axis=1
             )
             _save_frames(out_dir, "l", (i, j), phit, params)
-            _save_frames(out_dir, "v", (i, j), np.asarray(velt), params)
+            _save_frames(out_dir, "v", (i, j), velt, params)
 
     save_manifest(Manifest(
         param_names=["drop_x_pos", "drop_radius", "frame"],
@@ -186,14 +206,24 @@ def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
     out_dir = os.path.join(out_root, name)
     cfg = Smoke3DConfig(depth=depth, height=height, width=width,
                         num_frames=num_frames)
+    from deepfluids_tpu.datagen.smoke3d import simulate_smoke3d_batch
+
     vels = np.linspace(0.5, 1.5, num_vel)
     buos = np.linspace(0.04, 0.12, num_buo)
+    # 3D trajectories are big (250 frames x 112x64x32x3 f32 ~= 690 MB per
+    # scene on device) — small chunks.
+    sb = _auto_scene_batch(3)
 
+    scene_list = [(i, j, iv, b) for i, iv in enumerate(vels)
+                  for j, b in enumerate(buos)]
     v_min, v_max = np.inf, -np.inf
-    for i, iv in enumerate(vels):
-        for j, b in enumerate(buos):
-            vt, rt = simulate_smoke3d(jnp.float32(iv), jnp.float32(b), cfg)
-            vt = np.asarray(vt)
+    for k in range(0, len(scene_list), sb):
+        chunk = scene_list[k:k + sb]
+        ivs = jnp.asarray([c[2] for c in chunk], jnp.float32)
+        bs = jnp.asarray([c[3] for c in chunk], jnp.float32)
+        vts, rts = simulate_smoke3d_batch(ivs, bs, cfg)
+        vts = np.asarray(vts)
+        for (i, j, iv, b), vt in zip(chunk, vts):
             v_min = min(v_min, float(vt.min()))
             v_max = max(v_max, float(vt.max()))
             params = np.stack(

@@ -93,3 +93,16 @@ def simulate_smoke2d(pos_x, radius, cfg: Smoke2DConfig,
             body, (vel0, rho0), None, length=cfg.num_frames
         )
     return vt, rt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def simulate_smoke2d_batch(pos_x, radius, cfg: Smoke2DConfig):
+    """Vectorized scene sweep: S solver instances in one device program.
+
+    mantaflow ran one C++ scene at a time (SURVEY.md §3.5); here the whole
+    parameter sweep vmaps over (pos_x [S], radius [S]) so the TPU solves
+    every scene simultaneously — the datagen analogue of batched inference.
+
+    Returns (vel [S,T,H,W,2], rho [S,T,H,W]).
+    """
+    return jax.vmap(lambda p, r: simulate_smoke2d(p, r, cfg))(pos_x, radius)

@@ -71,3 +71,10 @@ def simulate_smoke3d(inflow_vel, buoyancy, cfg: Smoke3DConfig):
         body, (vel0, rho0), None, length=cfg.num_frames
     )
     return vt, rt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def simulate_smoke3d_batch(inflow_vel, buoyancy, cfg: Smoke3DConfig):
+    """Vectorized 3D scene sweep (see smoke2d.simulate_smoke2d_batch)."""
+    return jax.vmap(lambda v, b: simulate_smoke3d(v, b, cfg))(inflow_vel,
+                                                              buoyancy)
