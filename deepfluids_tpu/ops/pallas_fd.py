@@ -270,3 +270,126 @@ def jacobian3d_fused(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         [j[:, 7] - j[:, 5], j[:, 2] - j[:, 6], j[:, 3] - j[:, 1]], axis=1
     )
     return jnp.moveaxis(j, 1, -1), jnp.moveaxis(vort, 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused stencils (custom VJP) — usable inside the training
+# loss.  The backward pass is the TRANSPOSED forward-difference stencil,
+# also a single-VMEM-pass Pallas kernel.  For the edge-replicated forward
+# diff d = W x (d[i] = x[i+1]-x[i] for i<n-1, d[n-1] = x[n-1]-x[n-2]),
+# the cotangent is x_bar = W^T d_bar:
+#
+#   x_bar[j]    = d_bar[j-1] - d_bar[j]            (interior)
+#   x_bar[0]    = -d_bar[0]
+#   x_bar[n-2]  = d_bar[n-3] - d_bar[n-2] - d_bar[n-1]
+#   x_bar[n-1]  = d_bar[n-2] + d_bar[n-1]
+#
+# (requires n >= 3, true for any field grid).  Validated against jax.grad
+# of the jnp oracle in tests/test_ops.py.
+# ---------------------------------------------------------------------------
+
+
+def _fdt(d, axis):
+    """Transpose of :func:`_fd` along ``axis`` of a 2D block (see above)."""
+    d = d.astype(jnp.float32)
+    n = d.shape[axis]
+    r1 = pltpu.roll(d, shift=1, axis=axis)        # d_bar[j-1]
+    rm1 = pltpu.roll(d, shift=n - 1, axis=axis)   # d_bar[j+1]
+    j = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis)
+    x = r1 - d
+    x = jnp.where(j == 0, -d, x)
+    x = jnp.where(j == n - 2, r1 - d - rm1, x)
+    x = jnp.where(j == n - 1, r1 + d, x)
+    return x
+
+
+def _curl2d_bwd_kernel(g_ref, out_ref):
+    """psi_bar = fdt_y(u_bar) - fdt_x(v_bar)  (curl2d transpose)."""
+    gu = g_ref[0, 0, :, :]
+    gv = g_ref[0, 1, :, :]
+    out_ref[0, 0, :, :] = (_fdt(gu, 0) - _fdt(gv, 1)).astype(out_ref.dtype)
+
+
+def _curl2d_bwd(g: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, _ = g.shape
+    gc = jnp.moveaxis(g, -1, 1)
+    out = pl.pallas_call(
+        _curl2d_bwd_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 2, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h, w), g.dtype),
+        interpret=_interpret(),
+    )(gc)
+    return jnp.moveaxis(out, 1, -1)
+
+
+@jax.custom_vjp
+def curl2d_p(psi: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable :func:`curl2d_fused` — drop-in for ops.fd.curl2d in
+    jitted loss functions (4D input)."""
+    return curl2d_fused(psi)
+
+
+def _curl2d_p_fwd(psi):
+    return curl2d_fused(psi), None
+
+
+def _curl2d_p_bwd(_, g):
+    return (_curl2d_bwd(g),)
+
+
+curl2d_p.defvjp(_curl2d_p_fwd, _curl2d_p_bwd)
+
+
+def _jacobian2d_bwd_kernel(gj_ref, gw_ref, out_ref):
+    """Transpose of jacobian2d (+vorticity):
+    u_bar = fdt_x(J0) + fdt_y(J1) - fdt_y(w_bar)
+    v_bar = fdt_x(J2) + fdt_y(J3) + fdt_x(w_bar)."""
+    gw = gw_ref[0, 0, :, :]
+    u = (_fdt(gj_ref[0, 0, :, :], 1) + _fdt(gj_ref[0, 1, :, :], 0)
+         - _fdt(gw, 0))
+    v = (_fdt(gj_ref[0, 2, :, :], 1) + _fdt(gj_ref[0, 3, :, :], 0)
+         + _fdt(gw, 1))
+    dt = out_ref.dtype
+    out_ref[0, 0, :, :] = u.astype(dt)
+    out_ref[0, 1, :, :] = v.astype(dt)
+
+
+def _jacobian2d_bwd(gj: jnp.ndarray, gw: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, _ = gj.shape
+    out = pl.pallas_call(
+        _jacobian2d_bwd_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, h, w), gj.dtype),
+        interpret=_interpret(),
+    )(jnp.moveaxis(gj, -1, 1), jnp.moveaxis(gw, -1, 1))
+    return jnp.moveaxis(out, 1, -1)
+
+
+@jax.custom_vjp
+def jacobian2d_p(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable :func:`jacobian2d_fused` (4D input)."""
+    return jacobian2d_fused(x)
+
+
+def _jacobian2d_p_fwd(x):
+    return jacobian2d_fused(x), None
+
+
+def _jacobian2d_p_bwd(_, g):
+    gj, gw = g
+    return (_jacobian2d_bwd(gj, gw),)
+
+
+jacobian2d_p.defvjp(_jacobian2d_p_fwd, _jacobian2d_p_bwd)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from deepfluids_tpu.ops import fd
+from deepfluids_tpu.ops import fd, pallas_fd
 
 
 def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -44,12 +44,16 @@ def jacobian_of(x: jnp.ndarray) -> jnp.ndarray:
     """Full first-derivative stack of a field; dispatches on rank/channels.
 
     [B,H,W,2] -> [B,H,W,4]; [B,D,H,W,3] -> [B,D,H,W,9]; scalar [...,1] ->
-    spatial gradient.
+    spatial gradient.  On TPU the 2D path runs the fused Pallas stencil
+    (custom VJP, bit-identical to the oracle in f32).
     """
     if x.shape[-1] == 1:
         return _grad_scalar(x)
     if x.ndim == 4:
-        j, _ = fd.jacobian2d(x)
+        if pallas_fd.use_pallas():
+            j, _ = pallas_fd.jacobian2d_p(x)
+        else:
+            j, _ = fd.jacobian2d(x)
         return j
     if x.ndim == 5:
         j, _ = fd.jacobian3d(x)
@@ -66,8 +70,11 @@ def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 def apply_curl(out: jnp.ndarray) -> jnp.ndarray:
-    """psi/Psi -> velocity via the matched curl; dispatches on rank."""
+    """psi/Psi -> velocity via the matched curl; dispatches on rank (fused
+    Pallas stencil with custom VJP on TPU for the 2D path)."""
     if out.ndim == 4:
+        if pallas_fd.use_pallas():
+            return pallas_fd.curl2d_p(out)
         return fd.curl2d(out)
     if out.ndim == 5:
         return fd.curl3d(out)
