@@ -88,7 +88,6 @@ class Config:
     # --- bookkeeping ---
     log_dir: str = "logs"
     tag: str = "tag"
-    model_dir: str = ""        # derived
 
     @property
     def dataset_dir(self) -> str:

@@ -110,28 +110,36 @@ def smoke_mov(out_root: str, num_scenes: int = 200, num_frames: int = 400,
     cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames)
     rng = np.random.default_rng(seed)
     radius = 0.08
+    sb = _auto_scene_batch(10)
+
+    # Smooth random source trajectories in [0.2, 0.8], one per scene.
+    n_knots = max(num_frames // 40, 2)
+    all_xs = np.stack([
+        np.interp(np.linspace(0, n_knots - 1, num_frames),
+                  np.arange(n_knots), rng.uniform(0.2, 0.8, size=n_knots))
+        for _ in range(num_scenes)]).astype(np.float32)
+
+    sim_batch = jax.jit(
+        jax.vmap(lambda xs: simulate_smoke2d(
+            xs[0], jnp.float32(radius), cfg, pos_x_per_frame=xs,
+            moving=True)),
+        static_argnames=())
 
     v_min, v_max = np.inf, -np.inf
-    for s in range(num_scenes):
-        # Smooth random source trajectory in [0.2, 0.8]:
-        n_knots = max(num_frames // 40, 2)
-        knots = rng.uniform(0.2, 0.8, size=n_knots)
-        xs = np.interp(
-            np.linspace(0, n_knots - 1, num_frames),
-            np.arange(n_knots), knots,
-        ).astype(np.float32)
-        vt, rt = simulate_smoke2d(
-            jnp.float32(xs[0]), jnp.float32(radius), cfg,
-            pos_x_per_frame=jnp.asarray(xs), moving=True,
-        )
-        vt = np.asarray(vt)
-        v_min = min(v_min, float(vt.min()))
-        v_max = max(v_max, float(vt.max()))
-        params = np.stack(
-            [xs, np.arange(num_frames, dtype=np.float64)], axis=1
-        )
-        _save_frames(out_dir, "v", (s,), vt, params)
-        _save_frames(out_dir, "d", (s,), np.asarray(rt)[..., None], params)
+    for k in range(0, num_scenes, sb):
+        xs_chunk = jnp.asarray(all_xs[k:k + sb])
+        vts, rts = sim_batch(xs_chunk)
+        vts, rts = np.asarray(vts), np.asarray(rts)
+        for o in range(xs_chunk.shape[0]):
+            s = k + o
+            vt = vts[o]
+            v_min = min(v_min, float(vt.min()))
+            v_max = max(v_max, float(vt.max()))
+            params = np.stack(
+                [all_xs[s], np.arange(num_frames, dtype=np.float64)], axis=1
+            )
+            _save_frames(out_dir, "v", (s,), vt, params)
+            _save_frames(out_dir, "d", (s,), rts[o][..., None], params)
 
     save_manifest(Manifest(
         param_names=["src_x_pos", "frame"],

@@ -155,3 +155,20 @@ class TestGrainLoader:
         assert x.shape == (4, 32, 32, 2)
         assert y.shape == (4, 3)
         assert np.abs(x).max() <= 1.0 + 1e-6
+
+
+class TestMovScene:
+    def test_smoke_mov_contract(self, tmp_path):
+        out = scenes.smoke_mov(str(tmp_path), num_scenes=3, num_frames=5,
+                               height=32, width=32, name="tinymov")
+        m = load_manifest(out)
+        assert m.num_param == 2 and m.num_scenes == 3
+        files = os.listdir(os.path.join(out, "v"))
+        assert len(files) == 3 * 5
+        ds = FieldDataset(out)
+        x, y = ds.get(0)
+        assert x.shape == (32, 32, 2)
+        assert y.shape == (2,)
+        # per-frame source positions vary within a scene's params
+        ys = np.stack([ds.get(i)[1] for i in range(5)])
+        assert np.isfinite(ys).all()
