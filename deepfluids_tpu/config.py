@@ -72,6 +72,10 @@ class Config:
     steps_per_call: int = 1           # train steps fused into one device
                                       # program (lax.scan over prefetched
                                       # batches; amortizes dispatch latency)
+    device_data_cache: bool = False   # stage the whole normalized dataset
+                                      # in HBM once and gather batches by
+                                      # index on device (zero host->device
+                                      # bytes per step; de/ae only)
 
     # --- test / inference ---
     load_path: str = ""
@@ -109,7 +113,8 @@ def get_parser() -> argparse.ArgumentParser:
                  "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "seed", "log_step", "test_step", "save_step",
-                  "compute_dtype", "num_data_shards", "steps_per_call"],
+                  "compute_dtype", "num_data_shards", "steps_per_call",
+                  "device_data_cache"],
         "test": ["load_path", "ae_load_path", "test_batch_size",
                  "test_frames"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",

@@ -238,3 +238,17 @@ class TestMultiStep:
         t = Trainer(c)
         t.train(num_steps=6)  # one chunk of 4 + remainder 2
         assert int(t.state.step) == 6
+
+
+class TestDeviceDataCache:
+    def test_cached_training_runs_and_learns(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="cache",
+                        device_data_cache=True, steps_per_call=4)
+        t = Trainer(c)
+        first = t.train(num_steps=4)
+        later = t.train(num_steps=40)
+        assert later["loss"] < first["loss"]
+        assert int(t.state.step) == 44
+        # cache staged once, replicated; gather sharded over 8 devices
+        assert t._device_cache is not None
+        assert t._device_cache[0].shape[0] == 16  # 2x2 scenes x 4 frames
