@@ -81,3 +81,36 @@ class TestGoldenGenerator:
         params = model.init(jax.random.PRNGKey(7), jnp.asarray(g["p"]))
         out = np.asarray(ops.curl2d(model.apply(params, jnp.asarray(g["p"]))))
         assert check_fields(out, g["u"], TOL)["passed"]
+
+
+class TestWeightsIO:
+    def test_export_import_roundtrip(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        import weights_io
+        from deepfluids_tpu.models import GeneratorBE
+
+        model = GeneratorBE(output_shape=(16, 16, 1), filters=8, num_conv=1)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 3)))["params"]
+        p = str(tmp_path / "w.npz")
+        weights_io.export_npz(params, p)
+        # exact-key import
+        back = weights_io.import_npz(p, params, mode="exact")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            params, back)
+        # shape-ordered import with foreign key names
+        flat = weights_io.flatten_params(params)
+        renamed = {f"tf_var_{i}": v for i, (_, v) in enumerate(flat.items())}
+        p2 = str(tmp_path / "w2.npz")
+        np.savez_compressed(p2, **renamed)
+        back2 = weights_io.import_npz(p2, params, mode="by_shape")
+        out1 = model.apply({"params": params}, jnp.ones((1, 3)))
+        out2 = model.apply({"params": back2}, jnp.ones((1, 3)))
+        # by_shape can permute same-shape convs; outputs may differ, but
+        # the tree structure and shapes must match exactly
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a).shape, np.asarray(b).shape), params, back2)
+        assert out1.shape == out2.shape
