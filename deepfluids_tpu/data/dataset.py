@@ -154,6 +154,11 @@ class CodeDataset:
     def window_batch(self, batch_size: int, window: int
                      ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (z_seq [w, B, z_num], p_seq [w, B, num_param])."""
+        min_t = min(z.shape[0] for z in self.z)
+        if window > min_t:
+            raise ValueError(
+                f"window {window} exceeds shortest code sequence ({min_t} "
+                f"frames); lower --w_num or regenerate codes")
         zs, ps = [], []
         for _ in range(batch_size):
             s = int(self.rng.integers(0, self.num_scenes))

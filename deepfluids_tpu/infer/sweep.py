@@ -88,6 +88,11 @@ def sweep_on_device(
     entire grid in a single compiled call — measured 4.5x faster end-to-end
     on the v5e bench (fields stay on device until the single final fetch).
 
+    Memory note: ALL generated fields are materialized at once (device then
+    host) — ~2 GB for the full 2D reference sweep (fine), but ~10 GB for
+    the full 3D grid; chunk large 3D sweeps through
+    :func:`sweep_generator` instead.
+
     Returns fields [N, *res, C] in RAW units (padding rows stripped).
     """
     n = raw_params.shape[0]
