@@ -95,7 +95,12 @@ class BatchManager:
         self.manifest = self.ds.manifest
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        self.pool = cf.ThreadPoolExecutor(max_workers=max(num_workers, 1))
+        # Separate 1-thread executor for batch-level prefetch: submitting
+        # sample_batch to self.pool and blocking on pool.map inside it
+        # deadlocks when num_workers == 1 (the lone worker waits on work
+        # that can never be scheduled).
+        self._prefetch = cf.ThreadPoolExecutor(max_workers=1)
 
     def _gather(self, idx: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:
         items = list(self.pool.map(self.ds.get_normalized, idx))
@@ -109,10 +114,10 @@ class BatchManager:
 
     def batches(self, num_steps: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Yield ``num_steps`` random batches, prefetching one step ahead."""
-        nxt = self.pool.submit(self.sample_batch)
+        nxt = self._prefetch.submit(self.sample_batch)
         for _ in range(num_steps):
             cur = nxt.result()
-            nxt = self.pool.submit(self.sample_batch)
+            nxt = self._prefetch.submit(self.sample_batch)
             yield cur
 
     def denorm(self, x: np.ndarray) -> np.ndarray:
@@ -162,8 +167,8 @@ class CodeDataset:
         zs, ps = [], []
         for _ in range(batch_size):
             s = int(self.rng.integers(0, self.num_scenes))
-            t_max = self.z[s].shape[0] - window
-            t0 = int(self.rng.integers(0, max(t_max, 1)))
+            t_max = self.z[s].shape[0] - window  # >= 0 (guarded above)
+            t0 = int(self.rng.integers(0, t_max + 1))  # inclusive last start
             zs.append(self.z[s][t0:t0 + window])
             ps.append(self.p[s][t0:t0 + window])
         return np.stack(zs, axis=1), np.stack(ps, axis=1)

@@ -230,8 +230,8 @@ def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
         ivs = jnp.asarray([c[2] for c in chunk], jnp.float32)
         bs = jnp.asarray([c[3] for c in chunk], jnp.float32)
         vts, rts = simulate_smoke3d_batch(ivs, bs, cfg)
-        vts = np.asarray(vts)
-        for (i, j, iv, b), vt in zip(chunk, vts):
+        vts, rts = np.asarray(vts), np.asarray(rts)
+        for (i, j, iv, b), vt, rt in zip(chunk, vts, rts):
             v_min = min(v_min, float(vt.min()))
             v_max = max(v_max, float(vt.max()))
             params = np.stack(
@@ -239,6 +239,7 @@ def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
                  np.arange(num_frames, dtype=np.float64)], axis=1
             )
             _save_frames(out_dir, "v", (i, j), vt, params)
+            _save_frames(out_dir, "d", (i, j), rt[..., None], params)
 
     save_manifest(Manifest(
         param_names=["inflow_vel", "buoyancy", "frame"],

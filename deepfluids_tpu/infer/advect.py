@@ -23,18 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepfluids_tpu.datagen.grids import advect2d, advect3d
-
-
-def _inflow_mask2d(h: int, w: int, pos_x: jnp.ndarray, radius: jnp.ndarray
-                   ) -> jnp.ndarray:
-    """Circular source at (pos_x·W, ~bottom) in grid units, soft edge."""
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-    cy = 0.12 * h
-    cx = pos_x * w
-    r = radius * max(h, w)
-    d2 = (yy - cy) ** 2 + (xx - cx) ** 2
-    return jnp.clip(1.0 - d2 / (r * r + 1e-6), 0.0, 1.0)
+from deepfluids_tpu.datagen.smoke2d import _source_mask
 
 
 @partial(jax.jit, static_argnames=("inject",))
@@ -98,7 +87,10 @@ def render_density_sweep(
 
     def one_scene(p_seq, pos_x, radius):
         vel = generate_fn(p_seq) * v_scale          # [T, H, W, 2], grid units
-        src = _inflow_mask2d(h, w, pos_x, radius)
+        # Same source geometry as the simulator (datagen.smoke2d, whose
+        # frame loop uses pos_y=0.08), so the rendered density is directly
+        # comparable to the dataset's d/ frames.
+        src = _source_mask(h, w, pos_x, radius, jnp.float32(0.08))
         rho0 = jnp.zeros((h, w), jnp.float32)
         return advect_density(vel, rho0, src, dt=dt)
 

@@ -76,14 +76,14 @@ def main(config: Config) -> dict:
     if not config.ae_load_path:
         raise SystemExit("arch 'nn' test needs --ae_load_path "
                          "(the trained autoencoder's run dir)")
-    import dataclasses
-
+    from deepfluids_tpu.config import load_config
     from deepfluids_tpu.infer import rollout_trajectory
     from deepfluids_tpu.utils import save_gif
 
-    ae_config = dataclasses.replace(config, arch="ae", is_train=True,
-                                    load_path="")
-    ae = Trainer(ae_config, run_dir=config.ae_load_path)
+    # Rebuild the AE from ITS OWN saved config (filters/z_num/etc. may
+    # differ from this invocation's flags) and don't clobber its params.json.
+    ae_config = load_config(config.ae_load_path)
+    ae = Trainer(ae_config, run_dir=config.ae_load_path, save_cfg=False)
     ae.restore_checkpoint()
 
     # Roll the first code sequence forward from its initial latent.

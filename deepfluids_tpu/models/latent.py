@@ -22,7 +22,13 @@ import jax.numpy as jnp
 
 
 class LatentIntegrator(nn.Module):
-    """MLP: [z_free_t ; dp_t] -> dz_free_t (residual latent update).
+    """MLP: [z_t ; dp_t] -> dz_free_t (residual update of the free block).
+
+    The input is the FULL latent code (supervised parameter block included —
+    the dynamics depend on absolute parameter values like source position,
+    which the AE stores in the supervised dims, per SURVEY.md §3.4's
+    "[z_t ; Δp] → Δz"); only the free block receives the residual update,
+    since the parameter block is pinned to the known trajectory.
 
     Attributes:
       z_num: full latent size (supervised params + free dims).
@@ -42,8 +48,8 @@ class LatentIntegrator(nn.Module):
         return self.z_num - self.num_param
 
     @nn.compact
-    def __call__(self, z_free: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
-        h = jnp.concatenate([z_free, dp], axis=-1).astype(self.dtype)
+    def __call__(self, z: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
+        h = jnp.concatenate([z, dp], axis=-1).astype(self.dtype)
         for i in range(self.depth):
             h = nn.elu(nn.Dense(self.hidden, dtype=self.dtype,
                                 name=f"fc_{i}")(h))
@@ -63,7 +69,7 @@ def rollout(
 
     Args:
       apply_fn: bound ``LatentIntegrator.apply``-style callable
-        ``(params, z_free, dp) -> dz_free``.
+        ``(params, z_full, dp) -> dz_free``.
       params: integrator parameters.
       z0: ``[B, z_num]`` initial latent codes (front dims = normalized params
         at t=0).
@@ -80,14 +86,16 @@ def rollout(
     z_free0 = z0[:, num_param:]
     dp_seq = p_seq[1:] - p_seq[:-1]  # [T-1, B, num_param]
 
-    def step(z_free, inp):
+    def step(carry, inp):
+        z_free, p_cur = carry
         dp, p_next = inp
-        z_free = z_free + apply_fn(params, z_free, dp)
+        z_full = jnp.concatenate([p_cur, z_free], axis=-1)
+        z_free = z_free + apply_fn(params, z_full, dp)
         z = jnp.concatenate([p_next, z_free], axis=-1)
-        return z_free, z
+        return (z_free, p_next), z
 
     if remat:
         step = jax.checkpoint(step)
-    _, traj = jax.lax.scan(step, z_free0, (dp_seq, p_seq[1:]))
+    _, traj = jax.lax.scan(step, (z_free0, p_seq[0]), (dp_seq, p_seq[1:]))
     z_first = jnp.concatenate([p_seq[0], z_free0], axis=-1)[None]
     return jnp.concatenate([z_first, traj], axis=0)

@@ -56,13 +56,14 @@ class Trainer:
     """Owns model + state + data for one run; dispatches on config.arch."""
 
     def __init__(self, config: Config, run_dir: str | None = None,
-                 mesh=None):
+                 mesh=None, save_cfg: bool = True):
         self.c = config
         self.mesh = mesh if mesh is not None else make_mesh(
             num_data=config.num_data_shards or None)
         self.run_dir = run_dir or prepare_run_dir(
             config.log_dir, config.dataset, config.tag, config.load_path)
-        save_config(config, self.run_dir)
+        if save_cfg:
+            save_config(config, self.run_dir)
         self.dtype = jnp.dtype(config.compute_dtype)
 
         # --- data ---
@@ -78,6 +79,7 @@ class Trainer:
                                      seed=config.seed)
             self.manifest = self.codes.manifest
         self.num_param = self.manifest.num_param
+        self._check_geometry_flags()
 
         # --- model ---
         self.model = self._build_model()
@@ -119,6 +121,25 @@ class Trainer:
     # model / inputs per arch
     # ------------------------------------------------------------------
 
+    def _check_geometry_flags(self) -> None:
+        """--res_x/y/z and --is_3d are VALIDATED against the manifest (the
+        dataset's args.txt is the source of truth for geometry); a mismatch
+        errors loudly rather than being silently ignored."""
+        c, m = self.c, self.manifest
+        if m.is_3d:
+            want = {"res_z": m.resolution[0], "res_y": m.resolution[1],
+                    "res_x": m.resolution[2]}
+        else:
+            want = {"res_y": m.resolution[0], "res_x": m.resolution[1]}
+        for flag, actual in want.items():
+            given = getattr(c, flag)
+            if given and given != actual:
+                raise ValueError(
+                    f"--{flag}={given} but dataset {c.dataset} has "
+                    f"{flag}={actual} (geometry comes from args.txt)")
+        if (c.res_z or c.is_3d) and not m.is_3d:
+            raise ValueError(f"--is_3d/--res_z given but {c.dataset} is 2D")
+
     def _field_shape(self) -> tuple[int, ...]:
         return self.manifest.field_shape
 
@@ -156,8 +177,7 @@ class Trainer:
             return (jnp.zeros((1, self.num_param)),)
         if c.arch == "ae":
             return (jnp.zeros((1,) + self._field_shape()),)
-        return (jnp.zeros((1, c.z_num - self.num_param)),
-                jnp.zeros((1, self.num_param)))
+        return (jnp.zeros((1, c.z_num)), jnp.zeros((1, self.num_param)))
 
     # ------------------------------------------------------------------
     # train step (jit once, runs for the whole loop)
@@ -325,6 +345,15 @@ class Trainer:
         seen = 0
         profiling = False
         k = max(1, c.steps_per_call)
+        if k > 1 and num_steps % k:
+            # A partial last chunk would compile a second program shape
+            # (multi-minute through slow runtimes); round up instead — the
+            # cosine schedule clamps past max_step, so a few extra steps
+            # are benign.
+            rounded = ((num_steps + k - 1) // k) * k
+            log.info("rounding num_steps %d -> %d (multiple of "
+                     "steps_per_call=%d)", num_steps, rounded, k)
+            num_steps = rounded
         use_cache = c.device_data_cache and c.arch in ("de", "ae")
         if use_cache:
             idx_rng = np.random.default_rng(c.seed + 1)
@@ -481,29 +510,42 @@ class Trainer:
     # forward passes (used by sample dumps, tests, and infer/)
     # ------------------------------------------------------------------
 
+    # All four are jitted once per input shape — eager apply would dispatch
+    # op-by-op (~27 ms/RPC through the axon runtime, see CLAUDE.md) and make
+    # the AE encode pass / rollout decode pathologically slow.
+
+    def _jitted(self, name, fn):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
     def generate(self, p_norm: np.ndarray) -> np.ndarray:
         """Params [B, P] (normalized) -> fields [B, *res, C] (normalized)."""
-        out = self.state.apply_fn({"params": self.state.params},
-                                  jnp.asarray(p_norm))
-        if self.curl_active:
-            out = losses.apply_curl(out)
-        return np.asarray(out)
+        def f(params, p):
+            out = self.state.apply_fn({"params": params}, p)
+            return losses.apply_curl(out) if self.curl_active else out
+        return np.asarray(self._jitted("gen", f)(
+            self.state.params, jnp.asarray(p_norm)))
 
     def reconstruct(self, x: np.ndarray) -> np.ndarray:
-        out, _ = self.state.apply_fn({"params": self.state.params},
-                                     jnp.asarray(x))
-        if self.curl_active:
-            out = losses.apply_curl(out)
-        return np.asarray(out)
+        def f(params, x):
+            out, _ = self.state.apply_fn({"params": params}, x)
+            return losses.apply_curl(out) if self.curl_active else out
+        return np.asarray(self._jitted("recon", f)(
+            self.state.params, jnp.asarray(x)))
 
     def encode(self, x: np.ndarray) -> np.ndarray:
-        z = self.model.apply({"params": self.state.params}, jnp.asarray(x),
-                             method=self.model.encode)
-        return np.asarray(z)
+        def f(params, x):
+            return self.model.apply({"params": params}, x,
+                                    method=self.model.encode)
+        return np.asarray(self._jitted("enc", f)(
+            self.state.params, jnp.asarray(x)))
 
     def decode(self, z: np.ndarray) -> np.ndarray:
-        out = self.model.apply({"params": self.state.params},
-                               jnp.asarray(z), method=self.model.decode)
-        if self.curl_active:
-            out = losses.apply_curl(out)
-        return np.asarray(out)
+        def f(params, z):
+            out = self.model.apply({"params": params}, z,
+                                   method=self.model.decode)
+            return losses.apply_curl(out) if self.curl_active else out
+        return np.asarray(self._jitted("dec", f)(
+            self.state.params, jnp.asarray(z)))

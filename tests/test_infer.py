@@ -80,9 +80,8 @@ class TestSweep:
 class TestRollout:
     def test_rollout_trajectory_shapes(self, manifest):
         m = LatentIntegrator(z_num=8, num_param=3, hidden=16, depth=1)
-        zf = jnp.ones((2, 5))
         dp = jnp.zeros((2, 3))
-        params = m.init(jax.random.key(0), zf, dp)
+        params = m.init(jax.random.key(0), jnp.ones((2, 8)), dp)
         apply_fn = lambda p, z, d: m.apply(p, z, d)
 
         def decode_fn(z):

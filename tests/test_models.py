@@ -91,17 +91,17 @@ class TestAutoencoder:
 class TestLatentIntegrator:
     def test_residual_shapes(self):
         m = LatentIntegrator(z_num=8, num_param=2, hidden=32, depth=2)
-        zf = jnp.ones((4, 6))
+        z = jnp.ones((4, 8))   # FULL latent code (params + free block)
         dp = jnp.zeros((4, 2))
-        params = m.init(jax.random.key(0), zf, dp)
-        dz = m.apply(params, zf, dp)
-        assert dz.shape == (4, 6)
+        params = m.init(jax.random.key(0), z, dp)
+        dz = m.apply(params, z, dp)
+        assert dz.shape == (4, 6)  # residual only for the free block
 
     def test_rollout_deterministic_and_param_pinning(self):
         m = LatentIntegrator(z_num=8, num_param=2, hidden=16, depth=1)
         zf = jnp.ones((2, 6))
         dp = jnp.zeros((2, 2))
-        params = m.init(jax.random.key(0), zf, dp)
+        params = m.init(jax.random.key(0), jnp.ones((2, 8)), dp)
         apply_fn = lambda p, z, d: m.apply(p, z, d)
 
         T = 10
@@ -124,7 +124,7 @@ class TestLatentIntegrator:
         m = LatentIntegrator(z_num=6, num_param=2, hidden=8, depth=1)
         zf = jnp.ones((1, 4))
         dp = jnp.zeros((1, 2))
-        params = m.init(jax.random.key(0), zf, dp)
+        params = m.init(jax.random.key(0), jnp.ones((1, 6)), dp)
         apply_fn = lambda p, z, d: m.apply(p, z, d)
         p_seq = jnp.zeros((5, 1, 2))
         z0 = jnp.concatenate([p_seq[0], zf], axis=-1)
@@ -157,7 +157,7 @@ class TestRolloutRemat:
         m = LatentIntegrator(z_num=8, num_param=2, hidden=16, depth=1)
         zf = jnp.ones((2, 6))
         dp = jnp.zeros((2, 2))
-        params = m.init(jax.random.key(0), zf, dp)
+        params = m.init(jax.random.key(0), jnp.ones((2, 8)), dp)
         apply_fn = lambda p, z, d: m.apply(p, z, d)
         p_seq = jnp.linspace(0, 1, 8)[:, None, None] * jnp.ones((8, 2, 2))
         z0 = jnp.concatenate([p_seq[0], zf], axis=-1)

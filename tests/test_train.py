@@ -232,12 +232,14 @@ class TestMultiStep:
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), p1, p2)
 
-    def test_remainder_chunk(self, tiny_dataset, tmp_path):
+    def test_remainder_rounds_up(self, tiny_dataset, tmp_path):
+        # A partial last chunk would force a second program compile; train()
+        # rounds num_steps up to a multiple of steps_per_call instead.
         c = tiny_config(tiny_dataset, str(tmp_path), tag="s3",
                         steps_per_call=4)
         t = Trainer(c)
-        t.train(num_steps=6)  # one chunk of 4 + remainder 2
-        assert int(t.state.step) == 6
+        t.train(num_steps=6)
+        assert int(t.state.step) == 8
 
 
 class TestDeviceDataCache:

@@ -124,7 +124,7 @@ def bench_rollout():
     m = LatentIntegrator(z_num=Z, num_param=P, hidden=512, depth=2)
     zf = jnp.zeros((B, Z - P))
     dp = jnp.zeros((B, P))
-    params = m.init(jax.random.PRNGKey(0), zf, dp)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((B, Z)), dp)
     apply_fn = lambda p, z, d: m.apply(p, z, d)
     p_seq = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (T, B, P)).astype(np.float32))
@@ -151,7 +151,7 @@ def bench_rollout_decode():
                       dtype=jnp.bfloat16)
     zf = jnp.zeros((B, Z - P))
     dp = jnp.zeros((B, P))
-    params = m.init(jax.random.PRNGKey(0), zf, dp)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((B, Z)), dp)
     dparams = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, Z)))["params"]
     apply_fn = lambda p, z, d: m.apply(p, z, d)
     p_seq = jnp.asarray(np.random.default_rng(0).uniform(
