@@ -107,3 +107,71 @@ def divergence2d_sharded(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
                 + _fdiff_h_sharded(v[..., 1:2], DATA_AXIS))
 
     return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+
+
+# ---------------------------------------------------------------------------
+# 3D: depth-sharded stencils (SURVEY.md §7 "3D halo exchange over ICI for
+# sharded 112x64x32 grids").  D (z) is the sharded axis — one ppermute halo
+# slice per z-derivative; in-plane derivatives stay local.
+# ---------------------------------------------------------------------------
+
+
+def _fdiff_d_sharded(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Forward diff along sharded D of [B, D_loc, H, W, C], edge-replicated
+    at the global end (same scheme as _fdiff_h_sharded)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    first = x_local[:, :1]
+    nxt = jax.lax.ppermute(first, axis_name,
+                           [(i, (i - 1) % n) for i in range(n)])
+    ext = jnp.concatenate([x_local, nxt], axis=1)
+    d = ext[:, 1:] - ext[:, :-1]
+    d_loc = x_local.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    is_global_last = (idx == n - 1) & (row == d_loc - 1)
+    prev = jnp.roll(d, 1, axis=1)
+    return jnp.where(is_global_last, prev, d)
+
+
+def _fdiff_local(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Edge-replicated forward diff along an UNSHARDED axis."""
+    d = jnp.diff(x, axis=axis)
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(-1, None)
+    return jnp.concatenate([d, d[tuple(idx)]], axis=axis)
+
+
+def curl3d_sharded(psi: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """D-sharded :func:`deepfluids_tpu.ops.fd.curl3d`.
+
+    Args:
+      psi: ``[B, D, H, W, 3]`` with D divisible by the data-axis size.
+    Returns:
+      ``[B, D, H, W, 3]`` velocity, sharded the same way.
+    """
+    spec = P(None, DATA_AXIS)
+
+    def f(p):
+        a, b, c = p[..., 0:1], p[..., 1:2], p[..., 2:3]
+        dady = _fdiff_local(a, 2)
+        dadz = _fdiff_d_sharded(a, DATA_AXIS)
+        dbdx = _fdiff_local(b, 3)
+        dbdz = _fdiff_d_sharded(b, DATA_AXIS)
+        dcdx = _fdiff_local(c, 3)
+        dcdy = _fdiff_local(c, 2)
+        return jnp.concatenate(
+            [dcdy - dbdz, dadz - dcdx, dbdx - dady], axis=-1)
+
+    return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(psi)
+
+
+def divergence3d_sharded(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """D-sharded forward-difference divergence (matched to curl3d_sharded)."""
+    spec = P(None, DATA_AXIS)
+
+    def f(v):
+        return (_fdiff_local(v[..., 0:1], 3)
+                + _fdiff_local(v[..., 1:2], 2)
+                + _fdiff_d_sharded(v[..., 2:3], DATA_AXIS))
+
+    return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)

@@ -80,3 +80,28 @@ class TestAdvection:
         assert rho.shape == (2, 6, 16, 16)
         assert rho.max() > 0  # source injected and transported
         assert np.isfinite(rho).all()
+
+
+class TestHalo3D:
+    def test_curl3d_matches_oracle(self):
+        from deepfluids_tpu.parallel.halo import curl3d_sharded
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(3)
+        psi = jnp.asarray(rng.standard_normal((2, 16, 8, 12, 3)),
+                          jnp.float32)
+        got = np.asarray(curl3d_sharded(psi, mesh))
+        want = np.asarray(ops.curl3d(psi))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_divfree_through_sharded_3d(self):
+        from deepfluids_tpu.parallel.halo import (curl3d_sharded,
+                                                  divergence3d_sharded)
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(4)
+        psi = jnp.asarray(rng.standard_normal((1, 16, 12, 8, 3)),
+                          jnp.float32)
+        u = curl3d_sharded(psi, mesh)
+        div = np.asarray(divergence3d_sharded(u, mesh))[:, :-2, :-2, :-2]
+        np.testing.assert_allclose(div, 0.0, atol=1e-5)
