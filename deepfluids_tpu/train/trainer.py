@@ -416,7 +416,27 @@ class Trainer:
             jax.profiler.stop_trace()
         if self._tb is not None:
             self._tb.flush()
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.wait_until_finished()
         return last_aux
+
+    def evaluate(self, num_samples: int = 64) -> dict:
+        """Generated-vs-dataset quality: normalized L2 over a uniform
+        sample of frames (the [B] parity metric applied to the MODEL, not
+        the discretization).  arch=de only."""
+        from deepfluids_tpu.utils.parity import normalized_l2
+
+        if self.c.arch != "de":
+            raise NotImplementedError("evaluate() supports arch='de'")
+        n = len(self.bm.ds)
+        idx = np.linspace(0, n - 1, min(num_samples, n)).astype(int)
+        xs, ys = zip(*[self.bm.ds.get_normalized(int(i)) for i in idx])
+        gen = self.generate(np.stack(ys))
+        l2s = np.array([normalized_l2(g, x) for g, x in zip(gen, xs)])
+        return {"l2_mean": float(l2s.mean()),
+                "l2_median": float(np.median(l2s)),
+                "l2_max": float(l2s.max()),
+                "num_samples": int(len(idx))}
 
     def maybe_resume(self) -> int:
         """Auto-resume from the latest checkpoint if one exists (SURVEY §5
@@ -446,7 +466,9 @@ class Trainer:
             )
         return self._ckpt_mgr
 
-    def save_checkpoint(self) -> None:
+    def save_checkpoint(self, wait: bool = False) -> None:
+        """Async by default: Orbax serializes in the background while
+        training continues; we only block before a restore or on demand."""
         import orbax.checkpoint as ocp
 
         mgr = self._manager()
@@ -455,13 +477,15 @@ class Trainer:
                      {"params": self.state.params,
                       "opt_state": self.state.opt_state,
                       "step": int(self.state.step)}))
-        mgr.wait_until_finished()
+        if wait:
+            mgr.wait_until_finished()
 
     def restore_checkpoint(self, step: int | None = None) -> int:
         """Restore latest (or given) step; returns the restored step."""
         import orbax.checkpoint as ocp
 
         mgr = self._manager()
+        mgr.wait_until_finished()  # an async save may still be in flight
         step = step if step is not None else mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.ckpt_dir}")

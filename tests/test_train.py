@@ -254,3 +254,43 @@ class TestDeviceDataCache:
         # cache staged once, replicated; gather sharded over 8 devices
         assert t._device_cache is not None
         assert t._device_cache[0].shape[0] == 16  # 2x2 scenes x 4 frames
+
+
+class TestGeometryValidation:
+    def test_res_flag_mismatch_raises(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="geo", res_x=64)
+        with pytest.raises(ValueError, match="res_x"):
+            Trainer(c)
+
+    def test_res_flag_match_ok(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="geo2",
+                        res_x=32, res_y=32)
+        Trainer(c)  # matches the 32x32 tiny dataset
+
+    def test_is_3d_on_2d_raises(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="geo3", is_3d=True)
+        with pytest.raises(ValueError, match="2D"):
+            Trainer(c)
+
+
+class TestNoCurlPath:
+    def test_use_curl_false_trains_velocity_directly(self, tiny_dataset,
+                                                     tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="nocurl",
+                        use_curl=False)
+        t = Trainer(c)
+        assert not t.curl_active
+        aux = t.train(num_steps=3)
+        assert np.isfinite(aux["loss"])
+        f = t.generate(np.zeros((2, 3), np.float32))
+        assert f.shape == (2, 32, 32, 2)  # velocity emitted directly
+
+
+class TestEvaluate:
+    def test_evaluate_returns_l2_stats(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="eval")
+        t = Trainer(c)
+        t.train(num_steps=2)
+        r = t.evaluate(num_samples=8)
+        assert set(r) == {"l2_mean", "l2_median", "l2_max", "num_samples"}
+        assert r["num_samples"] == 8 and np.isfinite(r["l2_mean"])
