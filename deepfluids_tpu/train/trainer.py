@@ -433,9 +433,14 @@ class Trainer:
         xs, ys = zip(*[self.bm.ds.get_normalized(int(i)) for i in idx])
         gen = self.generate(np.stack(ys))
         l2s = np.array([normalized_l2(g, x) for g, x in zip(gen, xs)])
+        # Per-frame normalized L2 is harsh on near-empty frames (tiny
+        # ||x|| denominators); rmse is in normalized field units and
+        # reflects perceptual quality better.
+        rmse = float(np.sqrt(np.mean((gen - np.stack(xs)) ** 2)))
         return {"l2_mean": float(l2s.mean()),
                 "l2_median": float(np.median(l2s)),
                 "l2_max": float(l2s.max()),
+                "rmse": rmse,
                 "num_samples": int(len(idx))}
 
     def maybe_resume(self) -> int:

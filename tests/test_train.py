@@ -292,5 +292,6 @@ class TestEvaluate:
         t = Trainer(c)
         t.train(num_steps=2)
         r = t.evaluate(num_samples=8)
-        assert set(r) == {"l2_mean", "l2_median", "l2_max", "num_samples"}
+        assert set(r) == {"l2_mean", "l2_median", "l2_max", "rmse",
+                          "num_samples"}
         assert r["num_samples"] == 8 and np.isfinite(r["l2_mean"])
