@@ -393,3 +393,135 @@ def _jacobian2d_p_bwd(_, g):
 
 
 jacobian2d_p.defvjp(_jacobian2d_p_fwd, _jacobian2d_p_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 3D differentiable fused stencils.  Same transposed-stencil scheme as 2D;
+# the transposed z-derivative is computed slice-wise (fori_loop over depth)
+# with neighbor reads, mirroring _fd_z.
+# ---------------------------------------------------------------------------
+
+
+def _fdt_z(vol_ref, ci, j, D):
+    """Transposed forward z-diff: cotangent slice j for channel ci.
+
+    x_bar[j] = d[j-1] - d[j];  x_bar[0] = -d[0];
+    x_bar[D-2] = d[D-3] - d[D-2] - d[D-1];  x_bar[D-1] = d[D-2] + d[D-1].
+    """
+    dm1 = vol_ref[0, ci, jnp.maximum(j - 1, 0), :, :].astype(jnp.float32)
+    dj = vol_ref[0, ci, j, :, :].astype(jnp.float32)
+    djp = vol_ref[0, ci, jnp.minimum(j + 1, D - 1), :, :].astype(jnp.float32)
+    out = dm1 - dj
+    out = jnp.where(j == 0, -dj, out)
+    out = jnp.where(j == D - 2, dm1 - dj - djp, out)
+    out = jnp.where(j == D - 1, dm1 + dj, out)
+    return out
+
+
+def _curl3d_bwd_kernel(g_ref, out_ref):
+    """Transpose of curl3: given (gu, gv, gw) cotangents,
+    a_bar = fdt_z(gv) - fdt_y(gw); b_bar = fdt_x(gw) - fdt_z(gu);
+    c_bar = fdt_y(gu) - fdt_x(gv)."""
+    D = g_ref.shape[2]
+    dt = out_ref.dtype
+
+    def body(d, _):
+        gu = g_ref[0, 0, d, :, :].astype(jnp.float32)
+        gv = g_ref[0, 1, d, :, :].astype(jnp.float32)
+        gw = g_ref[0, 2, d, :, :].astype(jnp.float32)
+        out_ref[0, 0, d, :, :] = (
+            _fdt_z(g_ref, 1, d, D) - _fdt(gw, 0)).astype(dt)
+        out_ref[0, 1, d, :, :] = (
+            _fdt(gw, 1) - _fdt_z(g_ref, 0, d, D)).astype(dt)
+        out_ref[0, 2, d, :, :] = (_fdt(gu, 0) - _fdt(gv, 1)).astype(dt)
+        return 0
+
+    jax.lax.fori_loop(0, D, body, 0)
+
+
+def _curl3d_bwd(g: jnp.ndarray) -> jnp.ndarray:
+    b, d, h, w, _ = g.shape
+    out = pl.pallas_call(
+        _curl3d_bwd_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 3, d, h, w), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, d, h, w), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, d, h, w), g.dtype),
+        interpret=_interpret(),
+    )(jnp.moveaxis(g, -1, 1))
+    return jnp.moveaxis(out, 1, -1)
+
+
+@jax.custom_vjp
+def curl3d_p(psi: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable :func:`curl3d_fused` (5D input)."""
+    return curl3d_fused(psi)
+
+
+def _curl3d_p_fwd(psi):
+    return curl3d_fused(psi), None
+
+
+def _curl3d_p_bwd(_, g):
+    return (_curl3d_bwd(g),)
+
+
+curl3d_p.defvjp(_curl3d_p_fwd, _curl3d_p_bwd)
+
+
+def _jacobian3d_bwd_kernel(gj_ref, out_ref):
+    """Transpose of one source channel's (d/dx, d/dy, d/dz) block:
+    x_bar = fdt_x(gj0) + fdt_y(gj1) + fdt_z(gj2)."""
+    D = gj_ref.shape[2]
+    dt = out_ref.dtype
+
+    def body(d, _):
+        g0 = gj_ref[0, 0, d, :, :].astype(jnp.float32)
+        g1 = gj_ref[0, 1, d, :, :].astype(jnp.float32)
+        out_ref[0, 0, d, :, :] = (
+            _fdt(g0, 1) + _fdt(g1, 0) + _fdt_z(gj_ref, 2, d, D)).astype(dt)
+        return 0
+
+    jax.lax.fori_loop(0, D, body, 0)
+
+
+def _jacobian3d_bwd(gj: jnp.ndarray) -> jnp.ndarray:
+    """gj [B,D,H,W,9] (vorticity cotangent already folded in) -> x_bar
+    [B,D,H,W,3]."""
+    b, d, h, w, _ = gj.shape
+    out = pl.pallas_call(
+        _jacobian3d_bwd_kernel,
+        grid=(b, 3),
+        in_specs=[pl.BlockSpec((1, 3, d, h, w), lambda i, c: (i, c, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, d, h, w), lambda i, c: (i, c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, d, h, w), gj.dtype),
+        interpret=_interpret(),
+    )(jnp.moveaxis(gj, -1, 1))
+    return jnp.moveaxis(out, 1, -1)
+
+
+@jax.custom_vjp
+def jacobian3d_p(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable :func:`jacobian3d_fused` (5D input)."""
+    return jacobian3d_fused(x)
+
+
+def _jacobian3d_p_fwd(x):
+    return jacobian3d_fused(x), None
+
+
+def _jacobian3d_p_bwd(_, g):
+    gj, gv = g
+    # vort is linear in J (rows 7-5, 2-6, 3-1); fold its cotangent into gj.
+    gj = (gj
+          .at[..., 7].add(gv[..., 0]).at[..., 5].add(-gv[..., 0])
+          .at[..., 2].add(gv[..., 1]).at[..., 6].add(-gv[..., 1])
+          .at[..., 3].add(gv[..., 2]).at[..., 1].add(-gv[..., 2]))
+    return (_jacobian3d_bwd(gj),)
+
+
+jacobian3d_p.defvjp(_jacobian3d_p_fwd, _jacobian3d_p_bwd)

@@ -56,7 +56,10 @@ def jacobian_of(x: jnp.ndarray) -> jnp.ndarray:
             j, _ = fd.jacobian2d(x)
         return j
     if x.ndim == 5:
-        j, _ = fd.jacobian3d(x)
+        if pallas_fd.use_pallas():
+            j, _ = pallas_fd.jacobian3d_p(x)
+        else:
+            j, _ = fd.jacobian3d(x)
         return j
     raise ValueError(f"unsupported field shape {x.shape}")
 
@@ -77,6 +80,8 @@ def apply_curl(out: jnp.ndarray) -> jnp.ndarray:
             return pallas_fd.curl2d_p(out)
         return fd.curl2d(out)
     if out.ndim == 5:
+        if pallas_fd.use_pallas():
+            return pallas_fd.curl3d_p(out)
         return fd.curl3d(out)
     raise ValueError(f"unsupported potential shape {out.shape}")
 

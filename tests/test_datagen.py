@@ -172,3 +172,20 @@ class TestMovScene:
         # per-frame source positions vary within a scene's params
         ys = np.stack([ds.get(i)[1] for i in range(5)])
         assert np.isfinite(ys).all()
+
+
+class TestBatchedSolverConsistency:
+    def test_batch_matches_single_scene(self):
+        from deepfluids_tpu.datagen.smoke2d import (Smoke2DConfig,
+                                                    simulate_smoke2d,
+                                                    simulate_smoke2d_batch)
+
+        cfg = Smoke2DConfig(height=24, width=16, num_frames=4,
+                            project_iters=10)
+        v1, r1 = simulate_smoke2d(jnp.float32(0.4), jnp.float32(0.1), cfg)
+        vb, rb = simulate_smoke2d_batch(
+            jnp.asarray([0.4, 0.6]), jnp.asarray([0.1, 0.1]), cfg)
+        np.testing.assert_allclose(np.asarray(vb[0]), np.asarray(v1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rb[0]), np.asarray(r1),
+                                   atol=1e-5)

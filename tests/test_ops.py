@@ -235,3 +235,35 @@ class TestCustomVJP:
         x = jnp.asarray(rng.standard_normal((2, 16, 12, 2)), jnp.float32)
         g = jax.grad(lambda p: generator_loss(p, x, True, 1.0, 1.0)[0])(psi)
         assert np.isfinite(np.asarray(g)).all()
+
+    def test_curl3d_p_grad(self):
+        rng = np.random.default_rng(12)
+        psi = jnp.asarray(rng.standard_normal((2, 6, 10, 12, 3)),
+                          jnp.float32)
+        g = jnp.asarray(rng.standard_normal((2, 6, 10, 12, 3)), jnp.float32)
+        from deepfluids_tpu.ops.pallas_fd import curl3d_p
+
+        go = jax.grad(lambda p: jnp.sum(ops.curl3d(p) * g))(psi)
+        gp = jax.grad(lambda p: jnp.sum(curl3d_p(p) * g))(psi)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gp),
+                                   atol=1e-5)
+
+    def test_jacobian3d_p_grad(self):
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((1, 6, 10, 12, 3)), jnp.float32)
+        gj = jnp.asarray(rng.standard_normal((1, 6, 10, 12, 9)),
+                         jnp.float32)
+        gv = jnp.asarray(rng.standard_normal((1, 6, 10, 12, 3)),
+                         jnp.float32)
+        from deepfluids_tpu.ops.pallas_fd import jacobian3d_p
+
+        def lo(v):
+            j, w = ops.jacobian3d(v)
+            return jnp.sum(j * gj) + jnp.sum(w * gv)
+
+        def lp(v):
+            j, w = jacobian3d_p(v)
+            return jnp.sum(j * gj) + jnp.sum(w * gv)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(lo)(x)),
+                                   np.asarray(jax.grad(lp)(x)), atol=1e-5)
