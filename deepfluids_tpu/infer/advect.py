@@ -45,9 +45,11 @@ def advect_density(vel_seq: jnp.ndarray, rho0: jnp.ndarray,
     advect = advect2d if vel_seq.ndim == 4 else advect3d
 
     def step(rho, vel):
-        rho = advect(rho, vel, dt)
+        # Inject BEFORE advecting — same ordering as the simulator's frame
+        # loop (datagen.smoke2d.step), so rendered frames line up with d/.
         if inject and source is not None:
             rho = jnp.clip(rho + source, 0.0, 1.0)
+        rho = advect(rho, vel, dt)
         return rho, rho
 
     _, frames = jax.lax.scan(step, rho0, vel_seq)
@@ -60,6 +62,7 @@ def render_density_sweep(
     scene_params: np.ndarray,
     num_frames: int,
     dt: float = 1.0,
+    source_rate: float = 1.0,
 ) -> np.ndarray:
     """Generate a scene's velocity trajectory and advect smoke through it.
 
@@ -87,10 +90,12 @@ def render_density_sweep(
 
     def one_scene(p_seq, pos_x, radius):
         vel = generate_fn(p_seq) * v_scale          # [T, H, W, 2], grid units
-        # Same source geometry as the simulator (datagen.smoke2d, whose
-        # frame loop uses pos_y=0.08), so the rendered density is directly
-        # comparable to the dataset's d/ frames.
-        src = _source_mask(h, w, pos_x, radius, jnp.float32(0.08))
+        # Same source geometry AND injection rate as the simulator
+        # (datagen.smoke2d: pos_y=0.08, rho += source_rate*mask before
+        # advection), so the rendered density is directly comparable to the
+        # dataset's d/ frames.  Pass the dataset's Smoke2DConfig.source_rate.
+        src = source_rate * _source_mask(h, w, pos_x, radius,
+                                         jnp.float32(0.08))
         rho0 = jnp.zeros((h, w), jnp.float32)
         return advect_density(vel, rho0, src, dt=dt)
 

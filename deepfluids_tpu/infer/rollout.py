@@ -51,6 +51,13 @@ def encode_dataset(
     for fp in files:
         stem = os.path.basename(fp)[:-4]
         m = re.match(r"^(.*)_(\d+)$", stem)
+        if m is None:
+            import warnings
+
+            warnings.warn(
+                f"skipping {fp}: name does not match the dataset contract "
+                "'<scene>_<frame>.npz'")
+            continue
         scenes[m.group(1)].append((int(m.group(2)), fp))
 
     out_dir = os.path.join(dataset_dir, f"code{z_num}")

@@ -34,7 +34,9 @@ def param_grid(manifest: Manifest, counts: Sequence[int],
       order).
     """
     t = num_frames or manifest.num_frames
-    axes = [np.linspace(r[0], r[1], n)
+    # n == 1 means "the range midpoint", not np.linspace's range minimum.
+    axes = [np.array([(r[0] + r[1]) / 2.0]) if n == 1
+            else np.linspace(r[0], r[1], n)
             for r, n in zip(manifest.param_ranges[:-1], counts)]
     frames = np.arange(t, dtype=np.float64)
     mesh = np.meshgrid(*axes, indexing="ij")
@@ -141,6 +143,7 @@ def run_test_sweep(
     t = num_frames or manifest.num_frames
     raw = param_grid(manifest, counts, t)
     n = raw.shape[0]
+    gif_scenes = min(gif_scenes, n // t)  # can't gif more scenes than swept
     mode = "levelset" if manifest.num_channels == 1 else "vorticity"
 
     gif_frames: list[np.ndarray] = []

@@ -18,38 +18,38 @@ replicated input, gathering the sharded result must equal the oracle's
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
+from deepfluids_tpu.ops.fd import _fdiff as _fdiff_local
 from deepfluids_tpu.parallel.mesh import DATA_AXIS
 
 
-def _neighbor_first_row(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Successor shard's first H-row (wraps at the ring end; caller fixes
-    the global edge).  x_local: [B, H_loc, W, C] -> [B, 1, W, C]."""
-    n = jax.lax.axis_size(axis_name)
-    first = x_local[:, :1]
-    return jax.lax.ppermute(first, axis_name,
-                            [(i, (i - 1) % n) for i in range(n)])
-
-
 def _fdiff_h_sharded(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Forward diff along sharded H with edge replication at the global end."""
+    """Forward diff along sharded axis 1 with edge replication at the
+    global end.
+
+    Two-sided halo: one ppermute brings the successor's FIRST row (for the
+    forward diff) and one brings the predecessor's LAST row (for the
+    backward diff used at the global last row).  The backward diff comes
+    from the extended buffer — NOT from rolling the local diffs — so the
+    result stays correct when the local shard holds a single row
+    (axis size == number of shards)."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    nxt = _neighbor_first_row(x_local, axis_name)
-    ext = jnp.concatenate([x_local, nxt], axis=1)       # [B, H_loc+1, W, C]
-    d = ext[:, 1:] - ext[:, :-1]                        # [B, H_loc, W, C]
-    # Global last row (last shard's last local row): replicate previous diff.
+    fwd_perm = [(i, (i - 1) % n) for i in range(n)]
+    bwd_perm = [(i, (i + 1) % n) for i in range(n)]
+    nxt = jax.lax.ppermute(x_local[:, :1], axis_name, fwd_perm)
+    prv = jax.lax.ppermute(x_local[:, -1:], axis_name, bwd_perm)
+    ext = jnp.concatenate([prv, x_local, nxt], axis=1)  # [B, H_loc+2, ...]
+    fwd = ext[:, 2:] - ext[:, 1:-1]                     # x[j+1] - x[j]
+    bwd = ext[:, 1:-1] - ext[:, :-2]                    # x[j] - x[j-1]
     h_loc = x_local.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, fwd.shape, 1)
     is_global_last = (idx == n - 1) & (row == h_loc - 1)
-    prev = jnp.roll(d, 1, axis=1)                       # row h-2's diff at row h-1
-    return jnp.where(is_global_last, prev, d)
+    return jnp.where(is_global_last, bwd, fwd)
 
 
 def _fdiff_w(x_local: jnp.ndarray) -> jnp.ndarray:
@@ -58,8 +58,7 @@ def _fdiff_w(x_local: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([d, d[:, :, -1:]], axis=2)
 
 
-def _specs(mesh: Mesh):
-    return P(None, DATA_AXIS), NamedSharding(mesh, P(None, DATA_AXIS))
+_SPEC = P(None, DATA_AXIS)
 
 
 def curl2d_sharded(psi: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
@@ -70,21 +69,17 @@ def curl2d_sharded(psi: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     Returns:
       ``[B, H, W, 2]`` velocity, sharded the same way.
     """
-    spec, _ = _specs(mesh)
-
     def f(p):
         u = _fdiff_h_sharded(p[..., 0:1], DATA_AXIS)
         v = -_fdiff_w(p[..., 0:1])
         return jnp.concatenate([u, v], axis=-1)
 
-    return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(psi)
+    return shard_map(f, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC)(psi)
 
 
 def jacobian2d_sharded(x: jnp.ndarray, mesh: Mesh
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """H-sharded :func:`deepfluids_tpu.ops.fd.jacobian2d` ([B,H,W,2] input)."""
-    spec, _ = _specs(mesh)
-
     def f(v):
         dudx = _fdiff_w(v[..., 0:1])
         dudy = _fdiff_h_sharded(v[..., 0:1], DATA_AXIS)
@@ -94,19 +89,17 @@ def jacobian2d_sharded(x: jnp.ndarray, mesh: Mesh
         w = dvdx - dudy
         return j, w
 
-    return shard_map(f, mesh=mesh, in_specs=(spec,),
-                     out_specs=(spec, spec))(x)
+    return shard_map(f, mesh=mesh, in_specs=(_SPEC,),
+                     out_specs=(_SPEC, _SPEC))(x)
 
 
 def divergence2d_sharded(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """H-sharded forward-difference divergence (matched to curl2d_sharded)."""
-    spec, _ = _specs(mesh)
-
     def f(v):
         return (_fdiff_w(v[..., 0:1])
                 + _fdiff_h_sharded(v[..., 1:2], DATA_AXIS))
 
-    return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+    return shard_map(f, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -117,28 +110,9 @@ def divergence2d_sharded(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
 
 
 def _fdiff_d_sharded(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Forward diff along sharded D of [B, D_loc, H, W, C], edge-replicated
-    at the global end (same scheme as _fdiff_h_sharded)."""
-    idx = jax.lax.axis_index(axis_name)
-    n = jax.lax.axis_size(axis_name)
-    first = x_local[:, :1]
-    nxt = jax.lax.ppermute(first, axis_name,
-                           [(i, (i - 1) % n) for i in range(n)])
-    ext = jnp.concatenate([x_local, nxt], axis=1)
-    d = ext[:, 1:] - ext[:, :-1]
-    d_loc = x_local.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    is_global_last = (idx == n - 1) & (row == d_loc - 1)
-    prev = jnp.roll(d, 1, axis=1)
-    return jnp.where(is_global_last, prev, d)
-
-
-def _fdiff_local(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Edge-replicated forward diff along an UNSHARDED axis."""
-    d = jnp.diff(x, axis=axis)
-    idx = [slice(None)] * x.ndim
-    idx[axis] = slice(-1, None)
-    return jnp.concatenate([d, d[tuple(idx)]], axis=axis)
+    """Forward diff along sharded D of [B, D_loc, H, W, C] — identical
+    scheme to :func:`_fdiff_h_sharded` (both act on axis 1)."""
+    return _fdiff_h_sharded(x_local, axis_name)
 
 
 def curl3d_sharded(psi: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
@@ -149,8 +123,6 @@ def curl3d_sharded(psi: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     Returns:
       ``[B, D, H, W, 3]`` velocity, sharded the same way.
     """
-    spec = P(None, DATA_AXIS)
-
     def f(p):
         a, b, c = p[..., 0:1], p[..., 1:2], p[..., 2:3]
         dady = _fdiff_local(a, 2)
@@ -162,16 +134,14 @@ def curl3d_sharded(psi: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
         return jnp.concatenate(
             [dcdy - dbdz, dadz - dcdx, dbdx - dady], axis=-1)
 
-    return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(psi)
+    return shard_map(f, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC)(psi)
 
 
 def divergence3d_sharded(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """D-sharded forward-difference divergence (matched to curl3d_sharded)."""
-    spec = P(None, DATA_AXIS)
-
     def f(v):
         return (_fdiff_local(v[..., 0:1], 3)
                 + _fdiff_local(v[..., 1:2], 2)
                 + _fdiff_d_sharded(v[..., 2:3], DATA_AXIS))
 
-    return shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+    return shard_map(f, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC)(x)

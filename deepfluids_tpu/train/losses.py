@@ -40,23 +40,28 @@ def _grad_scalar(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(comps, axis=-1)
 
 
-def jacobian_of(x: jnp.ndarray) -> jnp.ndarray:
+def jacobian_of(x: jnp.ndarray, fused: bool | None = None) -> jnp.ndarray:
     """Full first-derivative stack of a field; dispatches on rank/channels.
 
     [B,H,W,2] -> [B,H,W,4]; [B,D,H,W,3] -> [B,D,H,W,9]; scalar [...,1] ->
-    spatial gradient.  On TPU the 2D path runs the fused Pallas stencil
-    (custom VJP, bit-identical to the oracle in f32).
+    spatial gradient.  ``fused`` selects the Pallas custom-VJP stencils
+    (bit-identical to the oracle in f32); default = on-TPU.  Callers inside
+    a MULTI-CHIP sharded computation must pass fused=False — pallas_call
+    has no GSPMD partitioning rule, so XLA would all-gather the batch and
+    run the stencil replicated (the Trainer handles this automatically).
     """
+    if fused is None:
+        fused = pallas_fd.use_pallas()
     if x.shape[-1] == 1:
         return _grad_scalar(x)
     if x.ndim == 4:
-        if pallas_fd.use_pallas():
+        if fused:
             j, _ = pallas_fd.jacobian2d_p(x)
         else:
             j, _ = fd.jacobian2d(x)
         return j
     if x.ndim == 5:
-        if pallas_fd.use_pallas():
+        if fused:
             j, _ = pallas_fd.jacobian3d_p(x)
         else:
             j, _ = fd.jacobian3d(x)
@@ -65,47 +70,48 @@ def jacobian_of(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
-               w1: float, w2: float) -> tuple[jnp.ndarray, dict]:
+               w1: float, w2: float,
+               fused: bool | None = None) -> tuple[jnp.ndarray, dict]:
     """w1·L1(field) + w2·L1(jacobian) — the core reconstruction loss."""
     loss_f = l1(pred, target)
-    loss_j = l1(jacobian_of(pred), jacobian_of(target))
+    loss_j = l1(jacobian_of(pred, fused), jacobian_of(target, fused))
     return w1 * loss_f + w2 * loss_j, {"loss_field": loss_f, "loss_jac": loss_j}
 
 
-def apply_curl(out: jnp.ndarray) -> jnp.ndarray:
-    """psi/Psi -> velocity via the matched curl; dispatches on rank (fused
-    Pallas stencil with custom VJP on TPU for the 2D path)."""
+def apply_curl(out: jnp.ndarray, fused: bool | None = None) -> jnp.ndarray:
+    """psi/Psi -> velocity via the matched curl; dispatches on rank.
+    ``fused`` selects the Pallas custom-VJP stencils (see jacobian_of for
+    the multi-chip caveat); default = on-TPU."""
+    if fused is None:
+        fused = pallas_fd.use_pallas()
     if out.ndim == 4:
-        if pallas_fd.use_pallas():
-            return pallas_fd.curl2d_p(out)
-        return fd.curl2d(out)
+        return pallas_fd.curl2d_p(out) if fused else fd.curl2d(out)
     if out.ndim == 5:
-        if pallas_fd.use_pallas():
-            return pallas_fd.curl3d_p(out)
-        return fd.curl3d(out)
+        return pallas_fd.curl3d_p(out) if fused else fd.curl3d(out)
     raise ValueError(f"unsupported potential shape {out.shape}")
 
 
 def generator_loss(net_out: jnp.ndarray, x: jnp.ndarray, use_curl: bool,
-                   w1: float, w2: float) -> tuple[jnp.ndarray, dict]:
+                   w1: float, w2: float,
+                   fused: bool | None = None) -> tuple[jnp.ndarray, dict]:
     """Arch "de" loss.  net_out is psi (use_curl) or the field directly."""
-    pred = apply_curl(net_out) if use_curl else net_out
-    loss, aux = field_loss(pred, x, w1, w2)
+    pred = apply_curl(net_out, fused) if use_curl else net_out
+    loss, aux = field_loss(pred, x, w1, w2, fused)
     aux["pred"] = pred
     return loss, aux
 
 
 def autoencoder_loss(net_out: jnp.ndarray, z: jnp.ndarray, x: jnp.ndarray,
                      y: jnp.ndarray, use_curl: bool, num_param: int,
-                     w1: float, w2: float, w3: float
-                     ) -> tuple[jnp.ndarray, dict]:
+                     w1: float, w2: float, w3: float,
+                     fused: bool | None = None) -> tuple[jnp.ndarray, dict]:
     """Arch "ae" loss: reconstruction + latent-parameter supervision.
 
     z[:, :num_param] is driven to equal the normalized sim params y so the
     latent space is steerable (SURVEY.md §3.3).
     """
-    pred = apply_curl(net_out) if use_curl else net_out
-    rec, aux = field_loss(pred, x, w1, w2)
+    pred = apply_curl(net_out, fused) if use_curl else net_out
+    rec, aux = field_loss(pred, x, w1, w2, fused)
     loss_p = l2(z[:, :num_param], y[:, :num_param])
     aux.update({"loss_param": loss_p, "pred": pred})
     return rec + w3 * loss_p, aux

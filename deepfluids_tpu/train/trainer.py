@@ -189,19 +189,26 @@ class Trainer:
         use_curl = self.curl_active
         rep = replicated_sharding(self.mesh)
         bsh = batch_sharding(self.mesh)
+        # Fused Pallas loss stencils only on a single-chip data axis:
+        # pallas_call has no GSPMD partitioning rule, so a sharded batch
+        # would be all-gathered; the jnp oracle partitions cleanly.
+        from deepfluids_tpu.ops import pallas_fd
+
+        fused = pallas_fd.use_pallas() and self.mesh.shape["data"] == 1
 
         if c.arch == "de":
             def loss_fn(params, x, y):
                 out = self.state.apply_fn({"params": params}, y)
                 loss, aux = losses.generator_loss(out, x, use_curl, c.w1,
-                                                  c.w2)
+                                                  c.w2, fused)
                 del aux["pred"]
                 return loss, aux
         elif c.arch == "ae":
             def loss_fn(params, x, y):
                 out, z = self.state.apply_fn({"params": params}, x)
                 loss, aux = losses.autoencoder_loss(
-                    out, z, x, y, use_curl, num_param, c.w1, c.w2, c.w3)
+                    out, z, x, y, use_curl, num_param, c.w1, c.w2, c.w3,
+                    fused)
                 del aux["pred"]
                 return loss, aux
         else:  # nn — batch is (z_seq [W,B,z], p_seq [W,B,P])
@@ -514,7 +521,7 @@ class Trainer:
             c = self.c
             out = os.path.join(self.run_dir, "sample", f"{step:07d}.png")
             if c.arch == "de":
-                n = min(8, 16)
+                n = 8
                 p = np.stack([
                     self.manifest.normalize_params(
                         [np.interp(i, [0, n - 1], r)

@@ -105,3 +105,15 @@ class TestHalo3D:
         u = curl3d_sharded(psi, mesh)
         div = np.asarray(divergence3d_sharded(u, mesh))[:, :-2, :-2, :-2]
         np.testing.assert_allclose(div, 0.0, atol=1e-5)
+
+    def test_single_row_shards(self):
+        # H == number of shards: each shard holds ONE row — the hardest
+        # halo case (regression for the roll-based edge fixup bug).
+        from deepfluids_tpu.parallel.halo import curl2d_sharded
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(5)
+        psi = jnp.asarray(rng.standard_normal((2, 8, 16, 1)), jnp.float32)
+        got = np.asarray(curl2d_sharded(psi, mesh))
+        want = np.asarray(ops.curl2d(psi))
+        np.testing.assert_allclose(got, want, atol=1e-6)
