@@ -136,3 +136,38 @@ class TestSweepOnDevice:
             list(sweep_generator(apply_fn, manifest, raw, batch_size=5)))
         assert dev.shape == host.shape == (24, 16, 16, 2)
         np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-5)
+
+
+class TestParamGridMidpoint:
+    def test_count_one_is_midpoint(self, manifest):
+        g = param_grid(manifest, (1, 1), num_frames=2)
+        # pos range [0.2, 0.8] -> 0.5; size range [0.04, 0.12] -> 0.08
+        np.testing.assert_allclose(g[0, 0], 0.5)
+        np.testing.assert_allclose(g[0, 1], 0.08)
+
+
+class TestEncodeDatasetRobustness:
+    def test_skips_noncontract_files(self, tmp_path):
+        from deepfluids_tpu.data.manifest import Manifest, save_manifest
+        from deepfluids_tpu.infer import encode_dataset
+
+        ds = str(tmp_path / "ds")
+        os.makedirs(os.path.join(ds, "v"))
+        x = np.zeros((8, 8, 2), np.float32)
+        np.savez_compressed(os.path.join(ds, "v", "0_0.npz"), x=x,
+                            y=np.zeros(3))
+        np.savez_compressed(os.path.join(ds, "v", "backup.npz"), x=x,
+                            y=np.zeros(3))  # violates naming contract
+        save_manifest(Manifest(
+            param_names=["a", "b", "frame"],
+            param_ranges=[[0, 1], [0, 1], [0, 1]], num_scenes=1,
+            num_frames=1, resolution=[8, 8], num_channels=2,
+            v_range=[-1, 1]), ds)
+        import warnings
+
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = encode_dataset(lambda b: np.zeros((b.shape[0], 4),
+                                                    np.float32), ds, 4)
+        assert any("contract" in str(w.message) for w in rec)
+        assert os.path.exists(os.path.join(out, "0.npz"))
