@@ -44,16 +44,32 @@ class FieldDataset:
         )
         self._lock = threading.Lock()
 
+    # Picklable for multiprocess loaders (grain workers): drop the lock and
+    # the cache, recreate on unpickle.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_lock"] = None
+        state["_cache"] = {} if state["_cache"] is not None else None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     def __len__(self) -> int:
         return len(self.files)
 
     def _load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         # Native C++ reader (zip walk + zlib inflate, GIL-free) when built;
         # transparent numpy fallback (deepfluids_tpu.data.native_npz).
+        # Exact capacities from the manifest avoid the default 64 MB
+        # scratch allocation per read.
         from deepfluids_tpu.data.native_npz import load_npz_field
 
-        x = load_npz_field(self.files[i], "x")
-        y = load_npz_field(self.files[i], "y")
+        m = self.manifest
+        x = load_npz_field(self.files[i], "x",
+                           capacity=int(np.prod(m.field_shape)))
+        y = load_npz_field(self.files[i], "y", capacity=max(m.num_param, 8))
         return x, y
 
     def get(self, i: int) -> tuple[np.ndarray, np.ndarray]:
@@ -113,12 +129,21 @@ class BatchManager:
         return self._gather(idx)
 
     def batches(self, num_steps: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        """Yield ``num_steps`` random batches, prefetching one step ahead."""
+        """Yield ``num_steps`` random batches, prefetching one step ahead.
+
+        Exactly ``num_steps`` batches are sampled — no trailing prefetch —
+        so the RNG stream stays continuous across consecutive calls."""
         nxt = self._prefetch.submit(self.sample_batch)
-        for _ in range(num_steps):
+        for k in range(num_steps):
             cur = nxt.result()
-            nxt = self._prefetch.submit(self.sample_batch)
+            if k + 1 < num_steps:
+                nxt = self._prefetch.submit(self.sample_batch)
             yield cur
+
+    def close(self) -> None:
+        """Shut down the worker pools (idempotent)."""
+        self.pool.shutdown(wait=False)
+        self._prefetch.shutdown(wait=False)
 
     def denorm(self, x: np.ndarray) -> np.ndarray:
         return self.manifest.denormalize_field(x)

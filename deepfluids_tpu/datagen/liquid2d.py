@@ -35,11 +35,11 @@ class Liquid2DConfig:
     redist_iters: int = 4
 
 
-def _initial_levelset(h, w, pos_x, radius):
+def _initial_levelset(h, w, pos_x, radius,
+                      basin: float = Liquid2DConfig.basin_level):
     """Signed distance (in cells, neg = liquid): basin + falling drop."""
     yy = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
     xx = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1))
-    basin = Liquid2DConfig.basin_level
     phi_basin = yy - basin * h          # <0 below the surface line
     cy, cx = 0.7 * h, pos_x * (w - 1)
     r = radius * w
@@ -66,7 +66,7 @@ def simulate_liquid2d(pos_x, radius, cfg: Liquid2DConfig):
     """One scene; returns (levelset_traj [T,H,W,1], vel_traj [T,H,W,2])."""
     h, w = cfg.height, cfg.width
     vel0 = jnp.zeros((h, w, 2), jnp.float32)
-    phi0 = _initial_levelset(h, w, pos_x, radius)
+    phi0 = _initial_levelset(h, w, pos_x, radius, cfg.basin_level)
 
     def body(state, _):
         vel, phi = state

@@ -8,22 +8,37 @@ writes the reference's on-disk contract (SURVEY.md §2 "Scene:*", §3.5):
     data/<name>/args.txt                  (JSON manifest)
 
 Parameter vectors follow the reference convention: last param is frame time.
-``scale``/count overrides exist so tests can generate tiny datasets in
-seconds; the full-size defaults match SURVEY §6's benchmark configs.
+Count overrides exist so tests can generate tiny datasets in seconds; the
+full-size defaults match SURVEY §6's benchmark configs.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from deepfluids_tpu.data.manifest import Manifest, save_manifest
-from deepfluids_tpu.datagen.liquid2d import Liquid2DConfig, simulate_liquid2d
-from deepfluids_tpu.datagen.smoke2d import Smoke2DConfig, simulate_smoke2d
-from deepfluids_tpu.datagen.smoke3d import Smoke3DConfig, simulate_smoke3d
+from deepfluids_tpu.datagen.liquid2d import (Liquid2DConfig,
+                                             simulate_liquid2d,
+                                             simulate_liquid2d_batch)
+from deepfluids_tpu.datagen.smoke2d import (Smoke2DConfig, simulate_smoke2d,
+                                            simulate_smoke2d_batch)
+from deepfluids_tpu.datagen.smoke3d import (Smoke3DConfig, simulate_smoke3d,
+                                            simulate_smoke3d_batch)
+
+
+def _fresh_field_dirs(out_dir: str, keys: tuple[str, ...]) -> None:
+    """Clear stale field dirs before (re)generation: leftover .npz from a
+    previous, larger/different-resolution run would silently mix into the
+    new dataset (glob picks up every file under v/)."""
+    for k in keys:
+        d = os.path.join(out_dir, k)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
 
 def _save_frames(out_dir, key, scene_idx, fields, params_per_frame):
@@ -45,6 +60,42 @@ def _auto_scene_batch(tpu_default: int) -> int:
     return tpu_default if jax.default_backend() == "tpu" else 1
 
 
+def _run_grid_sweep(out_dir, sim_batch_fn, axis_a, axis_b, num_frames,
+                    field_keys, scene_batch):
+    """Shared chunked sweep over a 2-param grid of scenes.
+
+    Args:
+      sim_batch_fn: ``(a_vec [S], b_vec [S]) -> tuple of [S, T, ...]``
+        trajectories, one per entry of ``field_keys``.
+      axis_a/axis_b: the two raw parameter axes (np arrays).
+      field_keys: output subdir per returned trajectory ("v", "d", "l"...).
+    Returns:
+      (min, max) over the FIRST returned trajectory (the manifest v_range).
+    """
+    _fresh_field_dirs(out_dir, field_keys)
+    sb = scene_batch
+    scene_list = [(i, j, float(a), float(b))
+                  for i, a in enumerate(axis_a)
+                  for j, b in enumerate(axis_b)]
+    v_min, v_max = np.inf, -np.inf
+    for k in range(0, len(scene_list), sb):
+        chunk = scene_list[k:k + sb]
+        pad = sb - len(chunk)  # pad to one shape -> ONE solver compile
+        padded = chunk + [chunk[-1]] * pad
+        avec = jnp.asarray([c[2] for c in padded], jnp.float32)
+        bvec = jnp.asarray([c[3] for c in padded], jnp.float32)
+        trajs = [np.asarray(t) for t in sim_batch_fn(avec, bvec)]
+        for n, (i, j, a, b) in enumerate(chunk):
+            v_min = min(v_min, float(trajs[0][n].min()))
+            v_max = max(v_max, float(trajs[0][n].max()))
+            params = np.stack(
+                [np.full(num_frames, a), np.full(num_frames, b),
+                 np.arange(num_frames, dtype=np.float64)], axis=1)
+            for key, traj in zip(field_keys, trajs):
+                _save_frames(out_dir, key, (i, j), traj[n], params)
+    return v_min, v_max
+
+
 def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
                       num_frames: int = 200, height: int = 128,
                       width: int = 96, name: str | None = None,
@@ -54,33 +105,19 @@ def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
     Reference scene smoke_pos21_size5 (SURVEY §2): 21 x 5 x 200 frames on a
     128x96 grid; params p = [pos_x, radius, frame].
     """
-    from deepfluids_tpu.datagen.smoke2d import simulate_smoke2d_batch
-
     name = name or f"smoke_pos{num_pos}_size{num_size}"
     out_dir = os.path.join(out_root, name)
     cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames)
     positions = np.linspace(0.2, 0.8, num_pos)
     radii = np.linspace(0.04, 0.12, num_size)
-    sb = scene_batch or _auto_scene_batch(15)
 
-    scene_list = [(i, j, px, r) for i, px in enumerate(positions)
-                  for j, r in enumerate(radii)]
-    v_min, v_max = np.inf, -np.inf
-    for k in range(0, len(scene_list), sb):
-        chunk = scene_list[k:k + sb]
-        pxs = jnp.asarray([c[2] for c in chunk], jnp.float32)
-        rs = jnp.asarray([c[3] for c in chunk], jnp.float32)
-        vts, rts = simulate_smoke2d_batch(pxs, rs, cfg)
-        vts, rts = np.asarray(vts), np.asarray(rts)
-        for (i, j, px, r), vt, rt in zip(chunk, vts, rts):
-            v_min = min(v_min, float(vt.min()))
-            v_max = max(v_max, float(vt.max()))
-            params = np.stack(
-                [np.full(num_frames, px), np.full(num_frames, r),
-                 np.arange(num_frames, dtype=np.float64)], axis=1
-            )
-            _save_frames(out_dir, "v", (i, j), vt, params)
-            _save_frames(out_dir, "d", (i, j), rt[..., None], params)
+    def sim(pv, rv):
+        vt, rt = simulate_smoke2d_batch(pv, rv, cfg)
+        return vt, rt[..., None]
+
+    v_min, v_max = _run_grid_sweep(
+        out_dir, sim, positions, radii, num_frames, ("v", "d"),
+        scene_batch or _auto_scene_batch(15))
 
     save_manifest(Manifest(
         param_names=["src_x_pos", "src_radius", "frame"],
@@ -107,6 +144,7 @@ def smoke_mov(out_root: str, num_scenes: int = 200, num_frames: int = 400,
     """
     name = name or f"smoke_mov{num_scenes}_f{num_frames}"
     out_dir = os.path.join(out_root, name)
+    _fresh_field_dirs(out_dir, ("v", "d"))
     cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames)
     rng = np.random.default_rng(seed)
     radius = 0.08
@@ -122,16 +160,17 @@ def smoke_mov(out_root: str, num_scenes: int = 200, num_frames: int = 400,
     sim_batch = jax.jit(
         jax.vmap(lambda xs: simulate_smoke2d(
             xs[0], jnp.float32(radius), cfg, pos_x_per_frame=xs,
-            moving=True)),
-        static_argnames=())
+            moving=True)))
 
     v_min, v_max = np.inf, -np.inf
     for k in range(0, num_scenes, sb):
-        xs_chunk = jnp.asarray(all_xs[k:k + sb])
+        chunk = list(range(k, min(k + sb, num_scenes)))
+        pad = sb - len(chunk)
+        xs_chunk = jnp.asarray(
+            np.stack([all_xs[s] for s in chunk + [chunk[-1]] * pad]))
         vts, rts = sim_batch(xs_chunk)
         vts, rts = np.asarray(vts), np.asarray(rts)
-        for o in range(xs_chunk.shape[0]):
-            s = k + o
+        for o, s in enumerate(chunk):
             vt = vts[o]
             v_min = min(v_min, float(vt.min()))
             v_max = max(v_max, float(vt.max()))
@@ -162,33 +201,19 @@ def liquid_pos10_size4(out_root: str, num_pos: int = 10, num_size: int = 4,
     Reference scene liquid_pos10_size4 (SURVEY §2) — the
     ``--data_type=levelset`` path; also dumps velocity under ``v/``.
     """
-    from deepfluids_tpu.datagen.liquid2d import simulate_liquid2d_batch
-
     name = name or f"liquid_pos{num_pos}_size{num_size}"
     out_dir = os.path.join(out_root, name)
     cfg = Liquid2DConfig(height=height, width=width, num_frames=num_frames)
     positions = np.linspace(0.25, 0.75, num_pos)
     radii = np.linspace(0.06, 0.15, num_size)
-    sb = _auto_scene_batch(10)
 
-    scene_list = [(i, j, px, r) for i, px in enumerate(positions)
-                  for j, r in enumerate(radii)]
-    l_min, l_max = np.inf, -np.inf
-    for k in range(0, len(scene_list), sb):
-        chunk = scene_list[k:k + sb]
-        pxs = jnp.asarray([c[2] for c in chunk], jnp.float32)
-        rs = jnp.asarray([c[3] for c in chunk], jnp.float32)
-        phits, velts = simulate_liquid2d_batch(pxs, rs, cfg)
-        phits, velts = np.asarray(phits), np.asarray(velts)
-        for (i, j, px, r), phit, velt in zip(chunk, phits, velts):
-            l_min = min(l_min, float(phit.min()))
-            l_max = max(l_max, float(phit.max()))
-            params = np.stack(
-                [np.full(num_frames, px), np.full(num_frames, r),
-                 np.arange(num_frames, dtype=np.float64)], axis=1
-            )
-            _save_frames(out_dir, "l", (i, j), phit, params)
-            _save_frames(out_dir, "v", (i, j), velt, params)
+    def sim(pv, rv):
+        phit, velt = simulate_liquid2d_batch(pv, rv, cfg)
+        return phit, velt
+
+    l_min, l_max = _run_grid_sweep(
+        out_dir, sim, positions, radii, num_frames, ("l", "v"),
+        _auto_scene_batch(10))
 
     save_manifest(Manifest(
         param_names=["drop_x_pos", "drop_radius", "frame"],
@@ -214,32 +239,18 @@ def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
     out_dir = os.path.join(out_root, name)
     cfg = Smoke3DConfig(depth=depth, height=height, width=width,
                         num_frames=num_frames)
-    from deepfluids_tpu.datagen.smoke3d import simulate_smoke3d_batch
-
     vels = np.linspace(0.5, 1.5, num_vel)
     buos = np.linspace(0.04, 0.12, num_buo)
+
+    def sim(vv, bv):
+        vt, rt = simulate_smoke3d_batch(vv, bv, cfg)
+        return vt, rt[..., None]
+
     # 3D trajectories are big (250 frames x 112x64x32x3 f32 ~= 690 MB per
     # scene on device) — small chunks.
-    sb = _auto_scene_batch(3)
-
-    scene_list = [(i, j, iv, b) for i, iv in enumerate(vels)
-                  for j, b in enumerate(buos)]
-    v_min, v_max = np.inf, -np.inf
-    for k in range(0, len(scene_list), sb):
-        chunk = scene_list[k:k + sb]
-        ivs = jnp.asarray([c[2] for c in chunk], jnp.float32)
-        bs = jnp.asarray([c[3] for c in chunk], jnp.float32)
-        vts, rts = simulate_smoke3d_batch(ivs, bs, cfg)
-        vts, rts = np.asarray(vts), np.asarray(rts)
-        for (i, j, iv, b), vt, rt in zip(chunk, vts, rts):
-            v_min = min(v_min, float(vt.min()))
-            v_max = max(v_max, float(vt.max()))
-            params = np.stack(
-                [np.full(num_frames, iv), np.full(num_frames, b),
-                 np.arange(num_frames, dtype=np.float64)], axis=1
-            )
-            _save_frames(out_dir, "v", (i, j), vt, params)
-            _save_frames(out_dir, "d", (i, j), rt[..., None], params)
+    v_min, v_max = _run_grid_sweep(
+        out_dir, sim, vels, buos, num_frames, ("v", "d"),
+        _auto_scene_batch(3))
 
     save_manifest(Manifest(
         param_names=["inflow_vel", "buoyancy", "frame"],

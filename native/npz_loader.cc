@@ -210,8 +210,10 @@ int df_npz_read(const char* path, const char* key, float* out,
 }
 
 // Batched parallel read: n files, each into out + i*stride (stride floats).
-// All members must share one shape (the dataset contract).  Returns 0 on
-// success or the first non-zero per-file status.
+// Every member must hold EXACTLY stride elements (the dataset contract) —
+// a smaller file would otherwise part-fill its row and leave uninitialized
+// memory in the output.  Returns 0 on success, the first non-zero per-file
+// status, or -6 for an element-count mismatch.
 int df_npz_read_batch(const char** paths, int n, const char* key, float* out,
                       int64_t stride, int64_t* shape, int* ndim,
                       int num_threads) {
@@ -222,13 +224,18 @@ int df_npz_read_batch(const char** paths, int n, const char* key, float* out,
   std::vector<int64_t> shapes(static_cast<size_t>(n) * 8);
   std::vector<int> ndims(n, 0);
   std::vector<std::thread> pool;
-  std::vector<int> next_idx{0};
   for (int t = 0; t < num_threads; ++t) {
     pool.emplace_back([&, t]() {
       for (int i = t; i < n; i += num_threads) {
+        const int64_t* sh = shapes.data() + static_cast<size_t>(i) * 8;
         status[i] = load_one(paths[i], key, out + i * stride, stride,
                              shapes.data() + static_cast<size_t>(i) * 8,
                              &ndims[i]);
+        if (status[i] == 0) {
+          int64_t count = 1;
+          for (int d = 0; d < ndims[i]; ++d) count *= sh[d];
+          if (count != stride) status[i] = -6;
+        }
       }
     });
   }

@@ -189,3 +189,16 @@ class TestBatchedSolverConsistency:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(rb[0]), np.asarray(r1),
                                    atol=1e-5)
+
+
+class TestPicklableSource:
+    def test_field_dataset_pickles(self, tiny_smoke_dataset):
+        # grain worker processes serialize the data source; the lock/cache
+        # must not break pickling.
+        import pickle
+
+        ds = FieldDataset(tiny_smoke_dataset)
+        ds.get(0)  # populate cache
+        ds2 = pickle.loads(pickle.dumps(ds))
+        x, y = ds2.get(0)
+        assert x.shape == (32, 32, 2)

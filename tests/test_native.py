@@ -68,3 +68,14 @@ class TestNativeLoader:
         ds = FieldDataset(ds_dir)
         got, _ = ds.get(0)
         np.testing.assert_array_equal(got, x)
+
+    def test_batch_rejects_mismatched_shapes(self, tmp_path):
+        # A file with fewer elements than the batch stride must not
+        # silently part-fill its row (native returns -6 -> numpy fallback
+        # raises a shape error instead of passing garbage).
+        p1 = str(tmp_path / "a_0.npz")
+        p2 = str(tmp_path / "a_1.npz")
+        np.savez_compressed(p1, x=np.zeros((4, 4), np.float32))
+        np.savez_compressed(p2, x=np.zeros((2, 2), np.float32))
+        with pytest.raises(Exception):
+            native_npz.load_npz_batch([p1, p2], "x", (4, 4))
