@@ -119,6 +119,9 @@ static bool parse_npy(const std::vector<unsigned char>& npy, int* dtype_code,
     hlen = rd16(npy.data() + 8);
     hoff = 10;
   } else {
+    // v2+ header length is 4 bytes (8..11): a truncated 10-11 byte member
+    // must not be read past its end.
+    if (npy.size() < 12) return false;
     hlen = rd32(npy.data() + 8);
     hoff = 12;
   }

@@ -73,6 +73,12 @@ def import_npz(path: str, params_template: Any,
         if missing:
             raise KeyError(f"npz missing {len(missing)} params, e.g. "
                            f"{missing[:3]}")
+        extra = sorted(set(theirs) - set(ours))
+        if extra:
+            # A typo'd/stale tensor name in the export would otherwise be
+            # dropped silently (mirrors by_shape's leftover check).
+            raise KeyError(f"npz has {len(extra)} keys with no matching "
+                           f"param, e.g. {extra[:3]}")
         flat = {k: theirs[k].astype(ours[k].dtype) for k in ours}
         return unflatten_params(flat)
 
