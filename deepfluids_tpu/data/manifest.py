@@ -41,6 +41,10 @@ class Manifest:
       num_channels: field channels (2 for 2D velocity, 3 for 3D, 1 levelset).
       v_range: [min, max] over all field values — normalization range.
       data_type: "velocity" or "levelset".
+      param_counts: grid size per non-frame parameter axis (e.g. [21, 5]) —
+        the sweep grid the dataset was generated on; None for datasets
+        without a regular grid (smoke_mov) or manifests written before the
+        field existed.
     """
 
     param_names: list[str]
@@ -51,6 +55,7 @@ class Manifest:
     num_channels: int
     v_range: list[float]
     data_type: str = "velocity"
+    param_counts: list[int] | None = None
 
     @property
     def num_param(self) -> int:

@@ -41,11 +41,12 @@ def _fresh_field_dirs(out_dir: str, keys: tuple[str, ...]) -> None:
             shutil.rmtree(d)
 
 
-def _save_frames(out_dir, key, scene_idx, fields, params_per_frame):
+def _save_frames(out_dir, key, scene_idx, fields, params_per_frame,
+                 frame_offset: int = 0):
     os.makedirs(os.path.join(out_dir, key), exist_ok=True)
     t = fields.shape[0]
     for f in range(t):
-        name = "_".join(str(i) for i in scene_idx) + f"_{f}.npz"
+        name = "_".join(str(i) for i in scene_idx) + f"_{frame_offset + f}.npz"
         np.savez_compressed(
             os.path.join(out_dir, key, name),
             x=np.asarray(fields[f], np.float32),
@@ -58,6 +59,27 @@ def _auto_scene_batch(tpu_default: int) -> int:
     time; on TPU we vmap a chunk of scenes through one compiled solver
     (jit-compile once, amortize dispatch). 1 on CPU keeps tests light."""
     return tpu_default if jax.default_backend() == "tpu" else 1
+
+
+_FETCH_BYTES = 256 << 20  # max bytes per device->host fetch RPC
+
+
+def _fetch_scene(traj, n: int) -> np.ndarray:
+    """Fetch one scene's trajectory ``traj[n]`` ([T, ...]) to host in frame
+    chunks of <= _FETCH_BYTES.
+
+    A whole 3D grid sweep is ~2 GB per device array; fetching it in ONE
+    RPC crashes the tunnel runtime (observed: "TPU worker process crashed"
+    at the ~2 GiB message limit).  Chunked slices keep every transfer small
+    while the per-call overhead (~27 ms) stays negligible at this size.
+    """
+    t = traj.shape[1]
+    frame_bytes = traj.dtype.itemsize * int(np.prod(traj.shape[2:]))
+    step = max(1, int(_FETCH_BYTES // max(frame_bytes, 1)))
+    if step >= t:
+        return np.asarray(traj[n])
+    return np.concatenate(
+        [np.asarray(traj[n, f:f + step]) for f in range(0, t, step)], axis=0)
 
 
 def _run_grid_sweep(out_dir, sim_batch_fn, axis_a, axis_b, num_frames,
@@ -84,15 +106,17 @@ def _run_grid_sweep(out_dir, sim_batch_fn, axis_a, axis_b, num_frames,
         padded = chunk + [chunk[-1]] * pad
         avec = jnp.asarray([c[2] for c in padded], jnp.float32)
         bvec = jnp.asarray([c[3] for c in padded], jnp.float32)
-        trajs = [np.asarray(t) for t in sim_batch_fn(avec, bvec)]
+        trajs = sim_batch_fn(avec, bvec)  # device arrays [S, T, ...]
         for n, (i, j, a, b) in enumerate(chunk):
-            v_min = min(v_min, float(trajs[0][n].min()))
-            v_max = max(v_max, float(trajs[0][n].max()))
             params = np.stack(
                 [np.full(num_frames, a), np.full(num_frames, b),
                  np.arange(num_frames, dtype=np.float64)], axis=1)
-            for key, traj in zip(field_keys, trajs):
-                _save_frames(out_dir, key, (i, j), traj[n], params)
+            for ki, (key, traj) in enumerate(zip(field_keys, trajs)):
+                arr = _fetch_scene(traj, n)
+                if ki == 0:
+                    v_min = min(v_min, float(arr.min()))
+                    v_max = max(v_max, float(arr.max()))
+                _save_frames(out_dir, key, (i, j), arr, params)
     return v_min, v_max
 
 
@@ -130,6 +154,7 @@ def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
         num_channels=2,
         v_range=[v_min, v_max],
         data_type="velocity",
+        param_counts=[num_pos, num_size],
     ), out_dir)
     return out_dir
 
@@ -226,6 +251,7 @@ def liquid_pos10_size4(out_root: str, num_pos: int = 10, num_size: int = 4,
         num_channels=1,
         v_range=[l_min, l_max],
         data_type="levelset",
+        param_counts=[num_pos, num_size],
     ), out_dir)
     return out_dir
 
@@ -242,15 +268,45 @@ def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
     vels = np.linspace(0.5, 1.5, num_vel)
     buos = np.linspace(0.04, 0.12, num_buo)
 
-    def sim(vv, bv):
-        vt, rt = simulate_smoke3d_batch(vv, bv, cfg)
-        return vt, rt[..., None]
-
     # 3D trajectories are big (250 frames x 112x64x32x3 f32 ~= 690 MB per
-    # scene on device) — small chunks.
-    v_min, v_max = _run_grid_sweep(
-        out_dir, sim, vels, buos, num_frames, ("v", "d"),
-        _auto_scene_batch(3))
+    # scene) and a 250-frame scan is one long device program — run the
+    # solver in SEGMENTS (state carried across calls, numerically identical
+    # to one scan), fetching and writing each segment before the next.
+    from deepfluids_tpu.datagen.smoke3d import simulate_smoke3d_segment_batch
+
+    _fresh_field_dirs(out_dir, ("v", "d"))
+    sb = _auto_scene_batch(3)
+    seg = min(50, num_frames)
+    scene_list = [(i, j, float(a), float(b))
+                  for i, a in enumerate(vels)
+                  for j, b in enumerate(buos)]
+    v_min, v_max = np.inf, -np.inf
+    for k in range(0, len(scene_list), sb):
+        chunk = scene_list[k:k + sb]
+        pad = sb - len(chunk)  # pad to one shape -> ONE solver compile
+        padded = chunk + [chunk[-1]] * pad
+        avec = jnp.asarray([c[2] for c in padded], jnp.float32)
+        bvec = jnp.asarray([c[3] for c in padded], jnp.float32)
+        vel = jnp.zeros((sb, depth, height, width, 3), jnp.float32)
+        rho = jnp.zeros((sb, depth, height, width), jnp.float32)
+        for f0 in range(0, num_frames, seg):
+            # Full segments only (one compiled shape); surplus frames of the
+            # final segment are computed and discarded.
+            vel, rho, vt, rt = simulate_smoke3d_segment_batch(
+                vel, rho, avec, bvec, cfg, seg)
+            keep = min(seg, num_frames - f0)
+            for n, (i, j, a, b) in enumerate(chunk):
+                frames = np.arange(f0, f0 + keep, dtype=np.float64)
+                params = np.stack(
+                    [np.full(keep, a), np.full(keep, b), frames], axis=1)
+                varr = _fetch_scene(vt, n)[:keep]
+                v_min = min(v_min, float(varr.min()))
+                v_max = max(v_max, float(varr.max()))
+                _save_frames(out_dir, "v", (i, j), varr, params,
+                             frame_offset=f0)
+                _save_frames(out_dir, "d", (i, j),
+                             _fetch_scene(rt, n)[:keep, ..., None], params,
+                             frame_offset=f0)
 
     save_manifest(Manifest(
         param_names=["inflow_vel", "buoyancy", "frame"],
@@ -263,6 +319,7 @@ def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
         num_channels=3,
         v_range=[v_min, v_max],
         data_type="velocity",
+        param_counts=[num_vel, num_buo],
     ), out_dir)
     return out_dir
 

@@ -38,6 +38,24 @@ def _source_mask3(d, h, w):
     return jnp.clip(1.0 - jnp.sqrt(d2) / r, 0.0, 1.0)
 
 
+def _step3(state, inflow_vel, buoyancy, mask, cfg: Smoke3DConfig):
+    """One solver step (source -> buoyancy -> advect -> project)."""
+    vel, rho = state
+    rho = jnp.clip(rho + cfg.source_rate * mask, 0.0, 1.0)
+    # Source inflow: set vertical velocity inside the source.
+    vel = vel.at[..., 1].set(
+        vel[..., 1] * (1 - mask) + inflow_vel * mask
+    )
+    vel = vel.at[..., 1].add(cfg.dt * buoyancy * rho)
+    vel = grids.wall_bc3d(vel)
+    rho = grids.advect3d(rho, vel, cfg.dt)
+    vel = grids.advect3d(vel, vel, cfg.dt)
+    vel = grids.wall_bc3d(vel)
+    vel = grids.pressure_project3d(vel, cfg.project_iters)
+    vel = grids.wall_bc3d(vel)
+    return (vel, rho), (vel, rho)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def simulate_smoke3d(inflow_vel, buoyancy, cfg: Smoke3DConfig):
     """One scene; returns (vel_traj [T,D,H,W,3], rho_traj [T,D,H,W]).
@@ -52,25 +70,43 @@ def simulate_smoke3d(inflow_vel, buoyancy, cfg: Smoke3DConfig):
     mask = _source_mask3(d, h, w)
 
     def body(state, _):
-        vel, rho = state
-        rho = jnp.clip(rho + cfg.source_rate * mask, 0.0, 1.0)
-        # Source inflow: set vertical velocity inside the source.
-        vel = vel.at[..., 1].set(
-            vel[..., 1] * (1 - mask) + inflow_vel * mask
-        )
-        vel = vel.at[..., 1].add(cfg.dt * buoyancy * rho)
-        vel = grids.wall_bc3d(vel)
-        rho = grids.advect3d(rho, vel, cfg.dt)
-        vel = grids.advect3d(vel, vel, cfg.dt)
-        vel = grids.wall_bc3d(vel)
-        vel = grids.pressure_project3d(vel, cfg.project_iters)
-        vel = grids.wall_bc3d(vel)
-        return (vel, rho), (vel, rho)
+        return _step3(state, inflow_vel, buoyancy, mask, cfg)
 
     _, (vt, rt) = jax.lax.scan(
         body, (vel0, rho0), None, length=cfg.num_frames
     )
     return vt, rt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def simulate_smoke3d_segment(vel, rho, inflow_vel, buoyancy,
+                             cfg: Smoke3DConfig, num_frames: int):
+    """Advance ``num_frames`` steps from (vel, rho) — the SEGMENTED driver.
+
+    Long 3D trajectories (250 frames at 112x64x32) cannot run as one device
+    program through constrained runtimes (observed tunnel worker crash) and
+    would hold the whole ~GB trajectory in HBM; callers scan segments,
+    carrying (vel, rho) across calls — numerically identical to one long
+    scan.  Returns (vel, rho, vel_traj [T,...], rho_traj [T,...]).
+    """
+    mask = _source_mask3(cfg.depth, cfg.height, cfg.width)
+
+    def body(state, _):
+        return _step3(state, inflow_vel, buoyancy, mask, cfg)
+
+    (vel, rho), (vt, rt) = jax.lax.scan(
+        body, (vel, rho), None, length=num_frames)
+    return vel, rho, vt, rt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def simulate_smoke3d_segment_batch(vel, rho, inflow_vel, buoyancy,
+                                   cfg: Smoke3DConfig, num_frames: int):
+    """Vmapped :func:`simulate_smoke3d_segment` (leading scene dim)."""
+    return jax.vmap(
+        lambda v, r, iv, b: simulate_smoke3d_segment(
+            v, r, iv, b, cfg, num_frames)
+    )(vel, rho, inflow_vel, buoyancy)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
