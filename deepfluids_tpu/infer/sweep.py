@@ -34,6 +34,11 @@ def param_grid(manifest: Manifest, counts: Sequence[int],
       order).
     """
     t = num_frames or manifest.num_frames
+    if len(counts) != manifest.num_param - 1:
+        raise ValueError(
+            f"counts has {len(counts)} entries but dataset has "
+            f"{manifest.num_param - 1} non-frame parameters "
+            f"({manifest.param_names[:-1]})")
     # n == 1 means "the range midpoint", not np.linspace's range minimum.
     axes = [np.array([(r[0] + r[1]) / 2.0]) if n == 1
             else np.linspace(r[0], r[1], n)
@@ -83,27 +88,33 @@ def sweep_on_device(
     manifest: Manifest,
     raw_params: np.ndarray,
     batch_size: int = 512,
+    max_out_bytes: int = 1 << 30,
 ) -> np.ndarray:
-    """Whole parameter sweep as ONE device program (lax.scan over chunks).
+    """Whole parameter sweep as few scanned device programs.
 
-    The host-loop sweep pays one runtime round-trip per batch; this runs the
-    entire grid in a single compiled call — measured 4.5x faster end-to-end
-    on the v5e bench (fields stay on device until the single final fetch).
+    The host-loop sweep pays one runtime round-trip per batch; this scans
+    the grid in at most ceil(total_bytes / max_out_bytes) compiled calls
+    (ONE call for anything under 1 GB) — measured 4.5x faster end-to-end on
+    the v5e bench (fields stay on device until one fetch per segment).
 
-    Memory note: ALL generated fields are materialized at once (device then
-    host) — ~2 GB for the full 2D reference sweep (fine), but ~10 GB for
-    the full 3D grid; chunk large 3D sweeps through
-    :func:`sweep_generator` instead.
+    Sweeps bigger than ``max_out_bytes`` (the full 3D grid is ~10 GB) are
+    AUTOMATICALLY segmented: every segment has the same shape (one compile;
+    the last is padded), and each fetch stays under the runtime's ~2 GiB
+    RPC limit while device memory holds one segment, not the sweep.
 
     Returns fields [N, *res, C] in RAW units (padding rows stripped).
     """
     n = raw_params.shape[0]
     p_norm = np.asarray(manifest.normalize_params(raw_params))
-    pad = (-n) % batch_size
+    field_bytes = 4 * int(np.prod(manifest.field_shape))
+    seg_chunks = max(1, int(max_out_bytes // (field_bytes * batch_size)))
+    fields_per_seg = min(seg_chunks * batch_size,
+                         ((n + batch_size - 1) // batch_size) * batch_size)
+    pad = (-n) % fields_per_seg
     if pad:
         p_norm = np.concatenate([p_norm, np.repeat(p_norm[-1:], pad, 0)])
-    chunks = jnp.asarray(
-        p_norm.reshape(-1, batch_size, p_norm.shape[-1]))
+    segs = p_norm.reshape(-1, fields_per_seg // batch_size, batch_size,
+                          p_norm.shape[-1])
 
     @jax.jit
     def sweep(chunks):
@@ -112,7 +123,8 @@ def sweep_on_device(
         _, out = jax.lax.scan(step, None, chunks)
         return out
 
-    out = np.asarray(sweep(chunks)).reshape((-1,) + manifest.field_shape)
+    parts = [np.asarray(sweep(jnp.asarray(seg))) for seg in segs]
+    out = np.concatenate(parts).reshape((-1,) + manifest.field_shape)
     if pad:
         out = out[:-pad]
     return manifest.denormalize_field(out)

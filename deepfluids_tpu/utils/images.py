@@ -40,17 +40,33 @@ def _colorize_magnitude(x: np.ndarray, vmax: float | None = None) -> np.ndarray:
 
 
 def field_to_image(field: np.ndarray, mode: str = "vorticity",
-                   vmax: float | None = None) -> np.ndarray:
+                   vmax: float | None = None,
+                   projection: str = "slice") -> np.ndarray:
     """Render one field to an RGB uint8 image (origin flipped so +y is up).
 
     Args:
-      field: [H, W, C] (2D) or [D, H, W, C] (3D — rendered as the
-        mid-depth slice, vorticity magnitude).
+      field: [H, W, C] (2D) or [D, H, W, C] (3D).
       mode: "vorticity" | "magnitude" | "levelset" | "scalar".
+      projection: 3D-to-2D reduction — "slice" (mid-depth plane, the
+        cheap default) or "max" (volume rendering via maximum-intensity
+        projection of |vorticity| / magnitude along depth — the qualitative
+        3D render surface the reference's paper figures used).
     """
     field = np.asarray(field, np.float32)
-    if field.ndim == 4:  # 3D: take mid-depth slice, keep in-plane components
-        field = field[field.shape[0] // 2]
+    if field.ndim == 4:  # 3D volume -> 2D plane
+        if projection == "max":
+            if mode == "vorticity" and field.shape[-1] == 3:
+                # |vorticity| per voxel, max over depth; signed look kept
+                # by projecting the in-plane component with largest |w|.
+                vort = np.asarray(fd.vorticity3d(field[None])[0])
+                wmag = np.linalg.norm(vort, axis=-1)     # [D, H, W]
+                d_idx = wmag.argmax(axis=0)              # [H, W]
+                hh, ww = np.indices(d_idx.shape)
+                wz = vort[..., 2][d_idx, hh, ww]         # in-plane curl comp
+                return _colorize_diverging(wz, vmax)[::-1]
+            m = np.linalg.norm(field, axis=-1).max(axis=0)
+            return _colorize_magnitude(m, vmax)[::-1]
+        field = field[field.shape[0] // 2]  # mid-depth slice
     if mode == "vorticity" and field.shape[-1] >= 2:
         w = np.asarray(fd.vorticity2d(field[..., :2][None])[0, ..., 0])
         img = _colorize_diverging(w, vmax)
@@ -63,20 +79,22 @@ def field_to_image(field: np.ndarray, mode: str = "vorticity",
 
 
 def save_field_image(path: str, field: np.ndarray, mode: str = "vorticity",
-                     vmax: float | None = None) -> str:
+                     vmax: float | None = None,
+                     projection: str = "slice") -> str:
     from PIL import Image
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(field_to_image(field, mode, vmax)).save(path)
+    Image.fromarray(field_to_image(field, mode, vmax, projection)).save(path)
     return path
 
 
 def save_image_grid(path: str, fields: Sequence[np.ndarray], ncol: int = 0,
-                    mode: str = "vorticity", vmax: float | None = None) -> str:
+                    mode: str = "vorticity", vmax: float | None = None,
+                    projection: str = "slice") -> str:
     """Tile several fields into one PNG montage (reference save_image)."""
     from PIL import Image
 
-    imgs = [field_to_image(f, mode, vmax) for f in fields]
+    imgs = [field_to_image(f, mode, vmax, projection) for f in fields]
     n = len(imgs)
     ncol = ncol or int(np.ceil(np.sqrt(n)))
     nrow = int(np.ceil(n / ncol))
@@ -91,11 +109,12 @@ def save_image_grid(path: str, fields: Sequence[np.ndarray], ncol: int = 0,
 
 
 def save_gif(path: str, fields: Sequence[np.ndarray], mode: str = "vorticity",
-             vmax: float | None = None, fps: int = 24) -> str:
+             vmax: float | None = None, fps: int = 24,
+             projection: str = "slice") -> str:
     """Assemble a field sequence into a GIF (reference test-time sweeps)."""
     import imageio
 
-    frames = [field_to_image(f, mode, vmax) for f in fields]
+    frames = [field_to_image(f, mode, vmax, projection) for f in fields]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     imageio.mimsave(path, frames, duration=1.0 / fps, loop=0)
     return path

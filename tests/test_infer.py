@@ -112,6 +112,19 @@ class TestImages:
                               "magnitude")
         assert img3.shape == (16, 16, 3)
 
+    def test_3d_max_projection(self):
+        rng = np.random.default_rng(3)
+        vol = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+        for mode in ("vorticity", "magnitude"):
+            img = field_to_image(vol, mode, projection="max")
+            assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+        # a feature hidden off the mid-plane is visible under max-projection
+        vol2 = np.zeros((4, 16, 16, 3), np.float32)
+        vol2[0, 4:8, 4:8, 0] = 5.0  # only depth slice 0
+        sl = field_to_image(vol2, "magnitude", projection="slice")
+        mx = field_to_image(vol2, "magnitude", projection="max")
+        assert mx.sum() > sl.sum()
+
     def test_save_image_and_gif(self, tmp_path):
         f = np.random.default_rng(0).normal(size=(8, 8, 2)).astype(np.float32)
         p1 = save_field_image(str(tmp_path / "a.png"), f)
@@ -136,6 +149,23 @@ class TestSweepOnDevice:
             list(sweep_generator(apply_fn, manifest, raw, batch_size=5)))
         assert dev.shape == host.shape == (24, 16, 16, 2)
         np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-5)
+
+    def test_auto_segmentation_matches(self, manifest):
+        # max_out_bytes small enough to force several same-shape segments
+        # (the safe path for ~10 GB 3D sweeps); results identical.
+        from deepfluids_tpu.infer.sweep import sweep_on_device
+
+        w = jax.random.normal(jax.random.key(1), (3, 16 * 16 * 2))
+
+        def apply_fn(p):
+            return (p @ w).reshape(-1, 16, 16, 2)
+
+        raw = param_grid(manifest, (3, 2))  # 24 fields
+        field_bytes = 4 * 16 * 16 * 2
+        seg = sweep_on_device(apply_fn, manifest, raw, batch_size=4,
+                              max_out_bytes=2 * 4 * field_bytes)  # 2 chunks/seg
+        one = sweep_on_device(apply_fn, manifest, raw, batch_size=4)
+        np.testing.assert_allclose(seg, one, rtol=1e-6)
 
 
 class TestParamGridMidpoint:

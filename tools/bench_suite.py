@@ -173,12 +173,45 @@ def bench_rollout_decode():
             "detail": f"T={T} x batch {B}: integrate + decode 128x96 + curl"}
 
 
+def bench_e2e_sweep2d():
+    """END-TO-END sweep: the reference's full 21x5x200 test grid INCLUDING
+    .npz compression, PNG renders and GIF assembly (not compute-only —
+    the honest artifact-writing fields/s)."""
+    import tempfile
+
+    from deepfluids_tpu.data.manifest import Manifest
+    from deepfluids_tpu.infer import run_test_sweep
+    from deepfluids_tpu.models import GeneratorBE
+    from deepfluids_tpu.ops import curl2d
+
+    m = Manifest(param_names=["src_x_pos", "src_radius", "frame"],
+                 param_ranges=[[0.2, 0.8], [0.04, 0.12], [0.0, 199.0]],
+                 num_scenes=105, num_frames=200, resolution=[128, 96],
+                 num_channels=2, v_range=[-5, 5], param_counts=[21, 5])
+    model = GeneratorBE(output_shape=(128, 96, 1), filters=128, num_conv=4,
+                        dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))["params"]
+
+    def apply_fn(p):
+        return curl2d(model.apply({"params": params}, p))
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        res = run_test_sweep(apply_fn, m, td, counts=(21, 5),
+                             batch_size=128, save_png_every=20)
+        dt = time.perf_counter() - t0
+    return {"metric": "e2e_sweep_fields_per_sec",
+            "value": round(res["num_fields"] / dt, 1),
+            "detail": "21x5x200 grid incl. npz+png+gif artifact writes"}
+
+
 BENCHES = {
     "infer2d": bench_infer2d,
     "infer3d": bench_infer3d,
     "train2d": bench_train2d,
     "rollout": bench_rollout,
     "rollout_decode": bench_rollout_decode,
+    "e2e_sweep2d": bench_e2e_sweep2d,
 }
 
 
