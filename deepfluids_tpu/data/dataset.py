@@ -25,6 +25,24 @@ import numpy as np
 from deepfluids_tpu.data.manifest import Manifest, load_manifest
 
 
+def step_rng(seed: int, step: int) -> np.random.Generator:
+    """Deterministic per-step Generator (the ``jax.random.fold_in`` idiom).
+
+    The training data order is a pure function of (seed, global step): exact
+    crash-resume (SURVEY.md §5 checkpoint contract, "RNG") needs no RNG
+    state in the checkpoint — a resumed run recomputes the identical batch
+    sequence from the restored step number, immune to the prefetch worker
+    having drawn ahead at save time."""
+    return np.random.default_rng((seed, step))
+
+
+def step_batch_indices(seed: int, step: int, n: int,
+                       batch_size: int) -> np.ndarray:
+    """Batch indices for one global step (see :func:`step_rng`)."""
+    return step_rng(seed, step).integers(0, n, size=batch_size).astype(
+        np.int32)
+
+
 class FieldDataset:
     """Random-access view over ``data/<name>/v/*.npz`` (field + raw params)."""
 
@@ -110,6 +128,7 @@ class BatchManager:
         self.ds = FieldDataset(dataset_dir, cache=cache, field_key=field_key)
         self.manifest = self.ds.manifest
         self.batch_size = batch_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.pool = cf.ThreadPoolExecutor(max_workers=max(num_workers, 1))
         # Separate 1-thread executor for batch-level prefetch: submitting
@@ -124,20 +143,35 @@ class BatchManager:
         y = np.stack([it[1] for it in items])
         return x, y
 
-    def sample_batch(self) -> tuple[np.ndarray, np.ndarray]:
-        idx = self.rng.integers(0, len(self.ds), size=self.batch_size)
+    def sample_batch(self, rng: np.random.Generator | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """One random batch.  ``rng`` defaults to the training stream;
+        callers on other threads (e.g. sample dumps while the prefetch
+        worker is drawing training batches) MUST pass their own Generator —
+        np.random.Generator is not thread-safe."""
+        rng = rng if rng is not None else self.rng
+        idx = rng.integers(0, len(self.ds), size=self.batch_size)
         return self._gather(idx)
 
-    def batches(self, num_steps: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        """Yield ``num_steps`` random batches, prefetching one step ahead.
+    def step_batch(self, step: int) -> tuple[np.ndarray, np.ndarray]:
+        """The batch for global step ``step`` — stateless (see step_rng)."""
+        idx = step_batch_indices(self.seed, step, len(self.ds),
+                                 self.batch_size)
+        return self._gather(idx)
 
-        Exactly ``num_steps`` batches are sampled — no trailing prefetch —
-        so the RNG stream stays continuous across consecutive calls."""
-        nxt = self._prefetch.submit(self.sample_batch)
+    def batches(self, num_steps: int, start_step: int = 0
+                ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield the batches for global steps ``start_step+1 ..
+        start_step+num_steps``, prefetching one step ahead.
+
+        Batch content is a pure function of (seed, step), so interrupting
+        and resuming at any step reproduces the identical stream."""
+        nxt = self._prefetch.submit(self.step_batch, start_step + 1)
         for k in range(num_steps):
             cur = nxt.result()
             if k + 1 < num_steps:
-                nxt = self._prefetch.submit(self.sample_batch)
+                nxt = self._prefetch.submit(self.step_batch,
+                                            start_step + k + 2)
             yield cur
 
     def close(self) -> None:
@@ -162,6 +196,7 @@ class CodeDataset:
     """
 
     def __init__(self, dataset_dir: str, z_num: int, seed: int = 0):
+        self.seed = seed
         self.manifest = load_manifest(dataset_dir)
         self.code_dir = os.path.join(dataset_dir, f"code{z_num}")
         files = sorted(glob.glob(os.path.join(self.code_dir, "*.npz")))
@@ -181,19 +216,25 @@ class CodeDataset:
     def num_scenes(self) -> int:
         return len(self.z)
 
-    def window_batch(self, batch_size: int, window: int
+    def window_batch(self, batch_size: int, window: int,
+                     step: int | None = None
                      ) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (z_seq [w, B, z_num], p_seq [w, B, num_param])."""
+        """Returns (z_seq [w, B, z_num], p_seq [w, B, num_param]).
+
+        With ``step`` given the draw is stateless per (seed, step) — the
+        exact-resume contract (see :func:`step_rng`); without it the
+        instance Generator stream is used (ad hoc sampling)."""
         min_t = min(z.shape[0] for z in self.z)
         if window > min_t:
             raise ValueError(
                 f"window {window} exceeds shortest code sequence ({min_t} "
                 f"frames); lower --w_num or regenerate codes")
+        rng = self.rng if step is None else step_rng(self.seed, step)
         zs, ps = [], []
         for _ in range(batch_size):
-            s = int(self.rng.integers(0, self.num_scenes))
+            s = int(rng.integers(0, self.num_scenes))
             t_max = self.z[s].shape[0] - window  # >= 0 (guarded above)
-            t0 = int(self.rng.integers(0, t_max + 1))  # inclusive last start
+            t0 = int(rng.integers(0, t_max + 1))  # inclusive last start
             zs.append(self.z[s][t0:t0 + window])
             ps.append(self.p[s][t0:t0 + window])
         return np.stack(zs, axis=1), np.stack(ps, axis=1)
