@@ -41,6 +41,8 @@ class Config:
     nn_hidden: int = 512
     nn_depth: int = 2
     w_num: int = 30            # rollout window length [B]
+    remat_rollout: bool = False  # jax.checkpoint each rollout step (O(1)
+                                 # activation memory for long windows)
 
     # --- data ---
     data_dir: str = "data"
@@ -69,6 +71,10 @@ class Config:
     save_step: int = 5000
     compute_dtype: str = "bfloat16"   # conv compute dtype on TPU
     num_data_shards: int = 0          # 0 -> all devices on the data mesh axis
+    num_model_shards: int = 1         # tensor-parallel axis: conv/dense
+                                      # output channels sharded over it
+                                      # (weights + Adam state; XLA inserts
+                                      # the activation collectives)
     steps_per_call: int = 1           # train steps fused into one device
                                       # program (lax.scan over prefetched
                                       # batches; amortizes dispatch latency)
@@ -76,12 +82,26 @@ class Config:
                                       # in HBM once and gather batches by
                                       # index on device (zero host->device
                                       # bytes per step; de/ae only)
+    cache_dtype: str = "float32"      # device_data_cache storage dtype;
+                                      # "float16" halves HBM for big 3D
+                                      # datasets (fields are in [-1,1];
+                                      # gathered batches are cast back to
+                                      # f32 before the loss)
+    spatial_shard: bool = False       # shard the grid's H (2D) / D (3D)
+                                      # axis over the data mesh axis instead
+                                      # of the batch: halo-exchange loss
+                                      # stencils + GSPMD-partitioned convs
+                                      # (for grids too large per chip;
+                                      # de/ae only)
 
     # --- test / inference ---
     load_path: str = ""
     ae_load_path: str = ""     # AE run dir for arch=nn rollout decoding
     test_batch_size: int = 32
     test_frames: int = 0       # 0 -> manifest num_frames
+    test_counts: str = ""      # sweep grid per non-frame param, e.g. "21,5";
+                               # "" -> the dataset's own generation grid
+                               # (manifest param_counts), like the reference
 
     # --- observability / debugging (SURVEY.md §5 aux subsystems) ---
     use_tensorboard: bool = False   # tensorboardX scalars beside metrics.jsonl
@@ -107,16 +127,17 @@ def get_parser() -> argparse.ArgumentParser:
     groups = {
         "network": ["arch", "filters", "num_conv", "repeat", "z_num",
                     "use_curl", "w1", "w2", "w3", "nn_hidden", "nn_depth",
-                    "w_num"],
+                    "w_num", "remat_rollout"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "is_3d", "res_x", "res_y",
                  "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "seed", "log_step", "test_step", "save_step",
-                  "compute_dtype", "num_data_shards", "steps_per_call",
-                  "device_data_cache"],
+                  "compute_dtype", "num_data_shards", "num_model_shards",
+                  "steps_per_call", "device_data_cache", "cache_dtype",
+                  "spatial_shard"],
         "test": ["load_path", "ae_load_path", "test_batch_size",
-                 "test_frames"],
+                 "test_frames", "test_counts"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",
                  "profile_dir", "debug_nans"],
     }

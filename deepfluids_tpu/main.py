@@ -57,7 +57,14 @@ def main(config: Config) -> dict:
                 {"params": trainer.state.params}, p_norm)
             return losses.apply_curl(out) if trainer.curl_active else out
 
-        counts = [5] * (trainer.manifest.num_param - 1)
+        # Sweep grid: --test_counts, else the dataset's own generation grid
+        # (the reference swept its full 21x5 grid, SURVEY §3.2), else 5/axis.
+        if config.test_counts:
+            counts = [int(s) for s in config.test_counts.split(",")]
+        elif trainer.manifest.param_counts:
+            counts = list(trainer.manifest.param_counts)
+        else:
+            counts = [5] * (trainer.manifest.num_param - 1)
         result = run_test_sweep(
             apply_fn, trainer.manifest, out_dir, counts=counts,
             num_frames=config.test_frames or None,

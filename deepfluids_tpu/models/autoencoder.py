@@ -13,10 +13,13 @@ Latent layout convention (used by the latent integrator, SURVEY.md §3.4):
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deepfluids_tpu.models.generator import GeneratorBE, default_repeat
+from deepfluids_tpu.models.generator import (GeneratorBE, default_repeat,
+                                             spatial_constraint)
 
 
 class Encoder(nn.Module):
@@ -33,6 +36,7 @@ class Encoder(nn.Module):
     repeat: int = 0
     act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,15 +48,18 @@ class Encoder(nn.Module):
 
         h = nn.Conv(self.filters, kernel, dtype=self.dtype,
                     name="conv_in")(x.astype(self.dtype))
+        h = spatial_constraint(h, self.spatial_mesh)
         h0 = h
         for stage in range(rep):
             for c in range(self.num_conv):
                 h = act(nn.Conv(self.filters, kernel, dtype=self.dtype,
                                 name=f"conv_{stage}_{c}")(h))
+                h = spatial_constraint(h, self.spatial_mesh)
             h = h + h0
             if stage < rep - 1:
                 h = act(nn.Conv(self.filters, kernel, strides=(2,) * ndim,
                                 dtype=self.dtype, name=f"down_{stage}")(h))
+                h = spatial_constraint(h, self.spatial_mesh)
                 h0 = h
         h = h.reshape((h.shape[0], -1))
         z = nn.Dense(self.z_num, dtype=self.dtype, name="fc_out")(h)
@@ -73,16 +80,19 @@ class Autoencoder(nn.Module):
     repeat: int = 0
     act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    spatial_mesh: Any = None
 
     def setup(self):
         self.encoder = Encoder(
             z_num=self.z_num, filters=self.filters, num_conv=self.num_conv,
             repeat=self.repeat, act_slope=self.act_slope, dtype=self.dtype,
+            spatial_mesh=self.spatial_mesh,
         )
         self.decoder = GeneratorBE(
             output_shape=self.output_shape, filters=self.filters,
             num_conv=self.num_conv, repeat=self.repeat,
             act_slope=self.act_slope, dtype=self.dtype,
+            spatial_mesh=self.spatial_mesh,
         )
 
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -21,11 +21,33 @@ works for 2D ([B, H, W, C]) and 3D ([B, D, H, W, C]) via ``output_shape``.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def spatial_constraint(x: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Pin a feature map's sharding under --spatial_shard training.
+
+    Axis 1 (H in 2D, D in 3D) is sharded over the mesh's data axis when
+    cleanly divisible; otherwise the map is REPLICATED.  Replication of the
+    indivisible coarse stages is load-bearing, not just tidy: GSPMD pads
+    indivisible shards, and the padded conv grad-filter computation
+    double-counts halo rows (observed: exact-2x kernel gradients on the
+    coarse decoder stage of a depth-4 grid over 8 devices).  Coarse grids
+    are tiny, so replicating them costs nothing.
+    """
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+    spec = (P(None, "data")
+            if x.ndim >= 3 and x.shape[1] % n == 0 else P())
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def default_repeat(output_shape: Sequence[int]) -> int:
@@ -65,6 +87,8 @@ class GeneratorBE(nn.Module):
       repeat: number of stages; 0 -> derived via :func:`default_repeat`.
       act_slope: LeakyReLU negative slope.
       dtype: compute dtype (bf16 on TPU for speed; params stay f32).
+      spatial_mesh: when set (--spatial_shard), stage activations are
+        sharding-constrained via :func:`spatial_constraint`.
     """
 
     output_shape: tuple[int, ...] = (128, 96, 1)
@@ -73,6 +97,7 @@ class GeneratorBE(nn.Module):
     repeat: int = 0
     act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -92,15 +117,18 @@ class GeneratorBE(nn.Module):
         x = nn.Dense(int(np.prod(coarse)) * self.filters, dtype=self.dtype,
                      name="fc_in")(z.astype(self.dtype))
         x = x.reshape((-1,) + coarse + (self.filters,))
+        x = spatial_constraint(x, self.spatial_mesh)
         x0 = x
         for stage in range(rep):
             for c in range(self.num_conv):
                 x = act(nn.Conv(self.filters, kernel, dtype=self.dtype,
                                 name=f"conv_{stage}_{c}")(x))
+                x = spatial_constraint(x, self.spatial_mesh)
             if stage < rep - 1:
                 x = upscale_nearest(x + x0, 2)
+                x = spatial_constraint(x, self.spatial_mesh)
                 x0 = x
             else:
                 x = x + x0
         out = nn.Conv(out_ch, kernel, dtype=self.dtype, name="conv_out")(x)
-        return out.astype(jnp.float32)
+        return spatial_constraint(out, self.spatial_mesh).astype(jnp.float32)

@@ -18,6 +18,7 @@ replication (see fd.py docstring; reference deep-fluids ops.py per SURVEY §2).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +27,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def use_pallas() -> bool:
-    """Whether to run compiled Pallas kernels (TPU) vs interpret/jnp fallback."""
+    """Whether the fused-stencil code path is selected (default: on TPU).
+
+    ``DEEPFLUIDS_PALLAS=1/0`` overrides — tests force the path ON on the
+    8-virtual-device CPU mesh (kernels then run in interpret mode, see
+    :func:`_interpret`) to exercise the exact shard_map+pallas composition
+    the multi-chip TPU trainer uses."""
+    env = os.environ.get("DEEPFLUIDS_PALLAS")
+    if env is not None:
+        return env.lower() not in ("0", "false", "")
     return jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:
-    return not use_pallas()
+    """Interpret-mode (pure jax eval) off-TPU; compiled Mosaic on TPU."""
+    return jax.default_backend() != "tpu"
 
 
 def _fd(x, axis):

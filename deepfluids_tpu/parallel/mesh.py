@@ -81,6 +81,37 @@ def shard_batch(mesh: Mesh, *arrays):
     return out[0] if len(out) == 1 else tuple(out)
 
 
+def model_sharded_state(state, mesh: Mesh):
+    """Sharding pytree for a TrainState under tensor parallelism (TP).
+
+    Rule (SURVEY §2 parallelism table "TP: shard conv channels over a model
+    axis"): CONV kernels (ndim >= 3, HWIO/DHWIO) whose output-channel dim
+    is divisible by the model-axis size are split on that dim; Adam's mu/nu
+    mirror params automatically (same shapes).  Dense kernels stay
+    replicated on purpose: the generator's fc_in output is reshaped to
+    (spatial x channels), so sharding its flattened dim becomes a tiny
+    SPATIAL sharding after the reshape — which trips an XLA conv-grad-
+    filter halo double-count (observed exact-2x kernel grads) and is the
+    wrong layout anyway.  Biases are tiny; replicated.  XLA inserts the
+    activation collectives.
+
+    Returns a pytree of NamedShardings matching ``state``; with a 1-sized
+    model axis this degrades to fully-replicated.
+    """
+    m = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if m > 1 and len(shape) >= 3 and shape[-1] % m == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [MODEL_AXIS])))
+        return NamedSharding(mesh, P())
+
+    import jax as _jax
+
+    return _jax.tree.map(rule, state)
+
+
 def init_distributed() -> bool:
     """Initialize multi-host JAX when launched under a pod scheduler.
 

@@ -20,8 +20,31 @@ All functions are pure, statically shaped, and dispatch 2D vs 3D on rank
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from deepfluids_tpu.ops import fd, pallas_fd
+from deepfluids_tpu.parallel.mesh import DATA_AXIS
+
+
+def _maybe_shard_batch(op, mesh, n_out: int = 1):
+    """Partition a per-sample fused op over the mesh's data (batch) axis.
+
+    ``pallas_call`` has no GSPMD partitioning rule, so inside a multi-chip
+    jit an unwrapped kernel would force an all-gather of the batch and run
+    replicated.  The stencils are independent per batch element, so
+    shard_map over the batch dim keeps each chip running its fused kernel
+    on its local shard — the SURVEY §2 parallelism-table design
+    (Pallas + shard_map).  Gradients flow through (shard_map is
+    differentiable; the custom VJP applies per-shard)."""
+    if mesh is None or mesh.shape.get(DATA_AXIS, 1) <= 1:
+        return op
+    spec = P(DATA_AXIS)
+    out_specs = spec if n_out == 1 else tuple([spec] * n_out)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # info, so the vma check cannot see the outputs are batch-varying.
+    return shard_map(op, mesh=mesh, in_specs=(spec,), out_specs=out_specs,
+                     check_vma=False)
 
 
 def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -40,15 +63,16 @@ def _grad_scalar(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(comps, axis=-1)
 
 
-def jacobian_of(x: jnp.ndarray, fused: bool | None = None) -> jnp.ndarray:
+def jacobian_of(x: jnp.ndarray, fused: bool | None = None,
+                mesh=None) -> jnp.ndarray:
     """Full first-derivative stack of a field; dispatches on rank/channels.
 
     [B,H,W,2] -> [B,H,W,4]; [B,D,H,W,3] -> [B,D,H,W,9]; scalar [...,1] ->
     spatial gradient.  ``fused`` selects the Pallas custom-VJP stencils
-    (bit-identical to the oracle in f32); default = on-TPU.  Callers inside
-    a MULTI-CHIP sharded computation must pass fused=False — pallas_call
-    has no GSPMD partitioning rule, so XLA would all-gather the batch and
-    run the stencil replicated (the Trainer handles this automatically).
+    (bit-identical to the oracle in f32); default = on-TPU.  On a
+    multi-chip data mesh pass ``mesh`` so the fused kernel is shard_mapped
+    over the batch axis (see :func:`_maybe_shard_batch`); batch size must
+    then be divisible by the data-axis size (the DP contract).
     """
     if fused is None:
         fused = pallas_fd.use_pallas()
@@ -56,13 +80,13 @@ def jacobian_of(x: jnp.ndarray, fused: bool | None = None) -> jnp.ndarray:
         return _grad_scalar(x)
     if x.ndim == 4:
         if fused:
-            j, _ = pallas_fd.jacobian2d_p(x)
+            j, _ = _maybe_shard_batch(pallas_fd.jacobian2d_p, mesh, 2)(x)
         else:
             j, _ = fd.jacobian2d(x)
         return j
     if x.ndim == 5:
         if fused:
-            j, _ = pallas_fd.jacobian3d_p(x)
+            j, _ = _maybe_shard_batch(pallas_fd.jacobian3d_p, mesh, 2)(x)
         else:
             j, _ = fd.jacobian3d(x)
         return j
@@ -71,32 +95,39 @@ def jacobian_of(x: jnp.ndarray, fused: bool | None = None) -> jnp.ndarray:
 
 def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
                w1: float, w2: float,
-               fused: bool | None = None) -> tuple[jnp.ndarray, dict]:
+               fused: bool | None = None,
+               mesh=None) -> tuple[jnp.ndarray, dict]:
     """w1·L1(field) + w2·L1(jacobian) — the core reconstruction loss."""
     loss_f = l1(pred, target)
-    loss_j = l1(jacobian_of(pred, fused), jacobian_of(target, fused))
+    loss_j = l1(jacobian_of(pred, fused, mesh),
+                jacobian_of(target, fused, mesh))
     return w1 * loss_f + w2 * loss_j, {"loss_field": loss_f, "loss_jac": loss_j}
 
 
-def apply_curl(out: jnp.ndarray, fused: bool | None = None) -> jnp.ndarray:
+def apply_curl(out: jnp.ndarray, fused: bool | None = None,
+               mesh=None) -> jnp.ndarray:
     """psi/Psi -> velocity via the matched curl; dispatches on rank.
-    ``fused`` selects the Pallas custom-VJP stencils (see jacobian_of for
-    the multi-chip caveat); default = on-TPU."""
+    ``fused`` selects the Pallas custom-VJP stencils; ``mesh`` shard_maps
+    them over the batch axis on a multi-chip data mesh (see jacobian_of);
+    default = on-TPU."""
     if fused is None:
         fused = pallas_fd.use_pallas()
     if out.ndim == 4:
-        return pallas_fd.curl2d_p(out) if fused else fd.curl2d(out)
+        return (_maybe_shard_batch(pallas_fd.curl2d_p, mesh)(out)
+                if fused else fd.curl2d(out))
     if out.ndim == 5:
-        return pallas_fd.curl3d_p(out) if fused else fd.curl3d(out)
+        return (_maybe_shard_batch(pallas_fd.curl3d_p, mesh)(out)
+                if fused else fd.curl3d(out))
     raise ValueError(f"unsupported potential shape {out.shape}")
 
 
 def generator_loss(net_out: jnp.ndarray, x: jnp.ndarray, use_curl: bool,
                    w1: float, w2: float,
-                   fused: bool | None = None) -> tuple[jnp.ndarray, dict]:
+                   fused: bool | None = None,
+                   mesh=None) -> tuple[jnp.ndarray, dict]:
     """Arch "de" loss.  net_out is psi (use_curl) or the field directly."""
-    pred = apply_curl(net_out, fused) if use_curl else net_out
-    loss, aux = field_loss(pred, x, w1, w2, fused)
+    pred = apply_curl(net_out, fused, mesh) if use_curl else net_out
+    loss, aux = field_loss(pred, x, w1, w2, fused, mesh)
     aux["pred"] = pred
     return loss, aux
 
@@ -104,14 +135,65 @@ def generator_loss(net_out: jnp.ndarray, x: jnp.ndarray, use_curl: bool,
 def autoencoder_loss(net_out: jnp.ndarray, z: jnp.ndarray, x: jnp.ndarray,
                      y: jnp.ndarray, use_curl: bool, num_param: int,
                      w1: float, w2: float, w3: float,
-                     fused: bool | None = None) -> tuple[jnp.ndarray, dict]:
+                     fused: bool | None = None,
+                     mesh=None) -> tuple[jnp.ndarray, dict]:
     """Arch "ae" loss: reconstruction + latent-parameter supervision.
 
     z[:, :num_param] is driven to equal the normalized sim params y so the
     latent space is steerable (SURVEY.md §3.3).
     """
-    pred = apply_curl(net_out, fused) if use_curl else net_out
-    rec, aux = field_loss(pred, x, w1, w2, fused)
+    pred = apply_curl(net_out, fused, mesh) if use_curl else net_out
+    rec, aux = field_loss(pred, x, w1, w2, fused, mesh)
+    loss_p = l2(z[:, :num_param], y[:, :num_param])
+    aux.update({"loss_param": loss_p, "pred": pred})
+    return rec + w3 * loss_p, aux
+
+
+def jacobian_of_spatial(x: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Spatially-sharded :func:`jacobian_of` (halo-exchange stencils).
+
+    For fields whose spatial axis 1 (H in 2D, D in 3D) is sharded over the
+    mesh's data axis — the SP/CP-analogue layout (SURVEY §2 parallelism
+    table) for grids too large to replicate per chip."""
+    from deepfluids_tpu.parallel import halo
+
+    if x.shape[-1] == 1:
+        return halo.grad_scalar_sharded(x, mesh)
+    j, _ = halo.jacobian_sharded(x, mesh)
+    return j
+
+
+def field_loss_spatial(pred: jnp.ndarray, target: jnp.ndarray,
+                       w1: float, w2: float, mesh) -> tuple[jnp.ndarray, dict]:
+    """Spatially-sharded :func:`field_loss` (same math, halo stencils)."""
+    loss_f = l1(pred, target)
+    loss_j = l1(jacobian_of_spatial(pred, mesh),
+                jacobian_of_spatial(target, mesh))
+    return (w1 * loss_f + w2 * loss_j,
+            {"loss_field": loss_f, "loss_jac": loss_j})
+
+
+def generator_loss_spatial(net_out: jnp.ndarray, x: jnp.ndarray,
+                           use_curl: bool, w1: float, w2: float,
+                           mesh) -> tuple[jnp.ndarray, dict]:
+    """Arch "de" loss with the grid's H (2D) / D (3D) axis sharded."""
+    from deepfluids_tpu.parallel import halo
+
+    pred = halo.curl_sharded(net_out, mesh) if use_curl else net_out
+    loss, aux = field_loss_spatial(pred, x, w1, w2, mesh)
+    aux["pred"] = pred
+    return loss, aux
+
+
+def autoencoder_loss_spatial(net_out: jnp.ndarray, z: jnp.ndarray,
+                             x: jnp.ndarray, y: jnp.ndarray, use_curl: bool,
+                             num_param: int, w1: float, w2: float, w3: float,
+                             mesh) -> tuple[jnp.ndarray, dict]:
+    """Arch "ae" loss with the grid's spatial axis sharded."""
+    from deepfluids_tpu.parallel import halo
+
+    pred = halo.curl_sharded(net_out, mesh) if use_curl else net_out
+    rec, aux = field_loss_spatial(pred, x, w1, w2, mesh)
     loss_p = l2(z[:, :num_param], y[:, :num_param])
     aux.update({"loss_param": loss_p, "pred": pred})
     return rec + w3 * loss_p, aux

@@ -59,7 +59,8 @@ class Trainer:
                  mesh=None, save_cfg: bool = True):
         self.c = config
         self.mesh = mesh if mesh is not None else make_mesh(
-            num_data=config.num_data_shards or None)
+            num_data=config.num_data_shards or None,
+            num_model=config.num_model_shards or 1)
         self.run_dir = run_dir or prepare_run_dir(
             config.log_dir, config.dataset, config.tag, config.load_path)
         if save_cfg:
@@ -90,12 +91,16 @@ class Trainer:
         rng = jax.random.PRNGKey(config.seed)
         self.state = create_train_state(
             rng, self.model, self._example_inputs(), tx)
-        self.state = jax.device_put(self.state,
-                                    replicated_sharding(self.mesh))
+        # Weights/opt-state layout: replicated on a pure-data mesh; output-
+        # channel-sharded over the model axis under TP (num_model_shards>1).
+        from deepfluids_tpu.parallel.mesh import model_sharded_state
+        self._state_sharding = model_sharded_state(self.state, self.mesh)
+        self.state = jax.device_put(self.state, self._state_sharding)
         log.info("arch=%s params=%.2fM mesh=%s", config.arch,
                  param_count(self.state.params) / 1e6,
                  dict(self.mesh.shape))
 
+        self._dump_rng = np.random.default_rng(config.seed + 7919)
         self._train_step = self._make_train_step()
         self._metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
         self._ckpt_mgr = None
@@ -139,6 +144,13 @@ class Trainer:
                     f"{flag}={actual} (geometry comes from args.txt)")
         if (c.res_z or c.is_3d) and not m.is_3d:
             raise ValueError(f"--is_3d/--res_z given but {c.dataset} is 2D")
+        if c.spatial_shard:
+            n = self.mesh.shape["data"]
+            axis = m.resolution[0]  # H (2D) / D (3D) — the sharded axis
+            if axis % n:
+                raise ValueError(
+                    f"--spatial_shard needs the grid's first axis ({axis}) "
+                    f"divisible by the data-axis size ({n})")
 
     def _field_shape(self) -> tuple[int, ...]:
         return self.manifest.field_shape
@@ -158,14 +170,16 @@ class Trainer:
         c = self.c
         res = tuple(self.manifest.resolution)
         out_shape = res + (self._potential_channels(),)
+        smesh = self.mesh if c.spatial_shard else None
         if c.arch == "de":
             return GeneratorBE(output_shape=out_shape, filters=c.filters,
                                num_conv=c.num_conv, repeat=c.repeat,
-                               dtype=self.dtype)
+                               dtype=self.dtype, spatial_mesh=smesh)
         if c.arch == "ae":
             return Autoencoder(output_shape=out_shape, z_num=c.z_num,
                                filters=c.filters, num_conv=c.num_conv,
-                               repeat=c.repeat, dtype=self.dtype)
+                               repeat=c.repeat, dtype=self.dtype,
+                               spatial_mesh=smesh)
         if c.arch == "nn":
             return LatentIntegrator(z_num=c.z_num, num_param=self.num_param,
                                     hidden=c.nn_hidden, depth=c.nn_depth)
@@ -189,33 +203,59 @@ class Trainer:
         use_curl = self.curl_active
         rep = replicated_sharding(self.mesh)
         bsh = batch_sharding(self.mesh)
-        # Fused Pallas loss stencils only on a single-chip data axis:
-        # pallas_call has no GSPMD partitioning rule, so a sharded batch
-        # would be all-gathered; the jnp oracle partitions cleanly.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Fused Pallas loss stencils stay fused on multi-chip meshes: the
+        # loss layer shard_maps them over the batch (data) axis, so each
+        # chip runs its kernel on the local shard (losses._maybe_shard_batch).
         from deepfluids_tpu.ops import pallas_fd
 
-        fused = pallas_fd.use_pallas() and self.mesh.shape["data"] == 1
+        spatial = c.spatial_shard
+        if spatial and c.arch not in ("de", "ae"):
+            raise ValueError("--spatial_shard applies to arch de/ae only")
+        fused = pallas_fd.use_pallas() and not spatial
+        loss_mesh = (self.mesh if self.mesh.shape["data"] > 1 and not spatial
+                     else None)
+        # Spatial sharding (SURVEY §2 SP/CP analogue): the grid's H (2D) /
+        # D (3D) axis — axis 1 of both field layouts — is sharded over the
+        # data axis, batch + params replicated.  The loss runs halo-exchange
+        # stencils (parallel/halo.py); the conv layers are partitioned by
+        # GSPMD (XLA inserts conv halos automatically).
+        spatial_sh = NamedSharding(self.mesh, P(None, "data"))
+        bsh_a, bsh_b = (spatial_sh, rep) if spatial else (bsh, bsh)
 
         if c.arch == "de":
             def loss_fn(params, x, y):
                 out = self.state.apply_fn({"params": params}, y)
-                loss, aux = losses.generator_loss(out, x, use_curl, c.w1,
-                                                  c.w2, fused)
+                if spatial:
+                    out = jax.lax.with_sharding_constraint(out, spatial_sh)
+                    loss, aux = losses.generator_loss_spatial(
+                        out, x, use_curl, c.w1, c.w2, self.mesh)
+                else:
+                    loss, aux = losses.generator_loss(
+                        out, x, use_curl, c.w1, c.w2, fused, loss_mesh)
                 del aux["pred"]
                 return loss, aux
         elif c.arch == "ae":
             def loss_fn(params, x, y):
                 out, z = self.state.apply_fn({"params": params}, x)
-                loss, aux = losses.autoencoder_loss(
-                    out, z, x, y, use_curl, num_param, c.w1, c.w2, c.w3,
-                    fused)
+                if spatial:
+                    out = jax.lax.with_sharding_constraint(out, spatial_sh)
+                    loss, aux = losses.autoencoder_loss_spatial(
+                        out, z, x, y, use_curl, num_param, c.w1, c.w2,
+                        c.w3, self.mesh)
+                else:
+                    loss, aux = losses.autoencoder_loss(
+                        out, z, x, y, use_curl, num_param, c.w1, c.w2,
+                        c.w3, fused, loss_mesh)
                 del aux["pred"]
                 return loss, aux
         else:  # nn — batch is (z_seq [W,B,z], p_seq [W,B,P])
             def loss_fn(params, z_seq, p_seq):
                 apply = lambda p, zf, dp: self.state.apply_fn(
                     {"params": p}, zf, dp)
-                z_pred = rollout(apply, params, z_seq[0], p_seq, num_param)
+                z_pred = rollout(apply, params, z_seq[0], p_seq, num_param,
+                                 remat=c.remat_rollout)
                 return losses.latent_window_loss(z_pred, z_seq, num_param)
 
         def step(state, a, b):
@@ -227,24 +267,48 @@ class Trainer:
 
         # nn batches are [W, B, ...]: shard the batch dim (axis 1).
         if c.arch == "nn":
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            bsh = NamedSharding(self.mesh, P(None, "data"))
+            bsh_a = bsh_b = NamedSharding(self.mesh, P(None, "data"))
 
         self._raw_step = step
-        self._batch_sharding = bsh
+        self._loss_fn = loss_fn  # exposed for grad-parity tests
+        self._batch_shardings = (bsh_a, bsh_b)
         self._train_multi = None
         self._cached_multi = None
         self._device_cache = None
         return jax.jit(
             step,
-            in_shardings=(rep, bsh, bsh),
-            out_shardings=(rep, rep),
+            in_shardings=(self._state_sharding, bsh_a, bsh_b),
+            out_shardings=(self._state_sharding, rep),
             donate_argnums=(0,),
         )
 
     # ------------------------------------------------------------------
     # HBM-resident dataset (zero host->device bytes per step)
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _staged_device_put(x: np.ndarray, sharding, max_bytes=256 << 20):
+        """Host->device transfer in bounded chunks.
+
+        A single multi-GB transfer crashes constrained runtimes (the axon
+        tunnel dies near the 2 GiB message limit — same failure mode as
+        the datagen fetch, datagen/scenes._fetch_scene).  Rows are written
+        into a donated device buffer via dynamic_update_slice, so peak HBM
+        is buffer + one chunk (not 2x the array as a device concat would
+        be)."""
+        if x.nbytes <= max_bytes:
+            return jax.device_put(jnp.asarray(x), sharding)
+        row_bytes = max(x.nbytes // max(x.shape[0], 1), 1)
+        rows = max(1, int(max_bytes // row_bytes))
+        buf = jax.device_put(jnp.zeros(x.shape, x.dtype), sharding)
+        upd = jax.jit(
+            lambda b, c, s: jax.lax.dynamic_update_slice(
+                b, c, (s,) + (0,) * (b.ndim - 1)),
+            donate_argnums=(0,))
+        for i in range(0, x.shape[0], rows):
+            chunk = jax.device_put(jnp.asarray(x[i:i + rows]), sharding)
+            buf = upd(buf, chunk, i)
+        return buf
 
     def _load_device_cache(self):
         """Stage the whole normalized dataset in HBM once.
@@ -265,12 +329,12 @@ class Trainer:
                            num_threads=self.c.num_worker)
         y = load_npz_batch(files, "y", (m.num_param,),
                            num_threads=self.c.num_worker)
-        x = m.normalize_field(x).astype(np.float32)
+        x = m.normalize_field(x).astype(self.c.cache_dtype)
         y = m.normalize_params(y).astype(np.float32)
         rep = replicated_sharding(self.mesh)
-        log.info("staging %d fields (%.2f GB) into device memory",
-                 x.shape[0], x.nbytes / 1e9)
-        self._device_cache = (jax.device_put(jnp.asarray(x), rep),
+        log.info("staging %d fields (%.2f GB, %s) into device memory",
+                 x.shape[0], x.nbytes / 1e9, x.dtype)
+        self._device_cache = (self._staged_device_put(x, rep),
                               jax.device_put(jnp.asarray(y), rep))
         return self._device_cache
 
@@ -286,19 +350,25 @@ class Trainer:
 
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            idx_sharding = NamedSharding(self.mesh, P(None, "data"))
+            # idx [K, B]: batch dim sharded for DP; replicated when the
+            # grid (not the batch) is the sharded axis.
+            idx_sharding = (rep if self.c.spatial_shard
+                            else NamedSharding(self.mesh, P(None, "data")))
 
             def multi(state, idx, cache_x, cache_y):  # idx [K, B] int32
                 def body(st, ix):
-                    st, aux = raw(st, cache_x[ix], cache_y[ix])
+                    # Gathered batch back to f32 (cache may be f16 to halve
+                    # HBM); XLA fuses the cast into the gather.
+                    st, aux = raw(st, cache_x[ix].astype(jnp.float32),
+                                  cache_y[ix])
                     return st, aux
                 state, auxs = jax.lax.scan(body, state, idx)
                 return state, jax.tree.map(lambda v: v[-1], auxs)
 
             self._cached_multi = jax.jit(
                 multi,
-                in_shardings=(rep, idx_sharding, rep, rep),
-                out_shardings=(rep, rep),
+                in_shardings=(self._state_sharding, idx_sharding, rep, rep),
+                out_shardings=(self._state_sharding, rep),
                 donate_argnums=(0,),
             )
         return self._cached_multi
@@ -312,8 +382,9 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = replicated_sharding(self.mesh)
-            spec = self._batch_sharding.spec
-            stacked = NamedSharding(self.mesh, P(None, *spec))
+            bsh_a, bsh_b = self._batch_shardings
+            stacked_a = NamedSharding(self.mesh, P(None, *bsh_a.spec))
+            stacked_b = NamedSharding(self.mesh, P(None, *bsh_b.spec))
             raw = self._raw_step
 
             def multi(state, a_stack, b_stack):
@@ -325,19 +396,24 @@ class Trainer:
 
             self._train_multi = jax.jit(
                 multi,
-                in_shardings=(rep, stacked, stacked),
-                out_shardings=(rep, rep),
+                in_shardings=(self._state_sharding, stacked_a, stacked_b),
+                out_shardings=(self._state_sharding, rep),
                 donate_argnums=(0,),
             )
         return self._train_multi
 
-    def _batches(self, num_steps: int) -> Iterator[tuple]:
+    def _batches(self, num_steps: int, start_step: int = 0) -> Iterator[tuple]:
+        """Batches for global steps start_step+1 .. start_step+num_steps.
+
+        Content is a pure function of (seed, step) — the exact-resume
+        contract (data.dataset.step_rng)."""
         if self.c.arch in ("de", "ae"):
-            yield from self.bm.batches(num_steps)
+            yield from self.bm.batches(num_steps, start_step=start_step)
         else:
-            for _ in range(num_steps):
+            for k in range(num_steps):
                 yield self.codes.window_batch(self.c.batch_size,
-                                              self.c.w_num)
+                                              self.c.w_num,
+                                              step=start_step + k + 1)
 
     # ------------------------------------------------------------------
     # loop
@@ -363,10 +439,9 @@ class Trainer:
             num_steps = rounded
         use_cache = c.device_data_cache and c.arch in ("de", "ae")
         if use_cache:
-            idx_rng = np.random.default_rng(c.seed + 1)
             cache_n = len(self.bm.ds)
         else:
-            it = self._batches(num_steps)
+            it = self._batches(num_steps, start_step=start_step)
 
         def crossed(period: int, step: int, take: int) -> bool:
             return step // period > (step - take) // period
@@ -389,9 +464,10 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                 if use_cache:
-                    idx = idx_rng.integers(
-                        0, cache_n, size=(take, c.batch_size)
-                    ).astype(np.int32)
+                    from deepfluids_tpu.data.dataset import step_batch_indices
+                    idx = np.stack([
+                        step_batch_indices(c.seed, s, cache_n, c.batch_size)
+                        for s in range(step - take + 1, step + 1)])
                     cx, cy = self._load_device_cache()
                     self.state, aux = self._get_cached_multi()(
                         self.state, idx, cx, cy)
@@ -427,28 +503,70 @@ class Trainer:
             self._ckpt_mgr.wait_until_finished()
         return last_aux
 
-    def evaluate(self, num_samples: int = 64) -> dict:
-        """Generated-vs-dataset quality: normalized L2 over a uniform
-        sample of frames (the [B] parity metric applied to the MODEL, not
-        the discretization).  arch=de only."""
+    def evaluate(self, num_samples: int = 64, decode_fn=None) -> dict:
+        """Model-quality metrics, repeatable per arch (the [B] parity
+        metric applied to the MODEL, not the discretization):
+
+          de: generated-vs-dataset field L2/rmse over a uniform frame sample;
+          ae: reconstruction L2/rmse + latent param-supervision MSE;
+          nn: full-trajectory latent rollout error vs ground-truth codes
+              (z MAE / final-step MAE); with ``decode_fn`` (z -> field,
+              e.g. a trained AE's Trainer.decode) also field-space rmse.
+        """
         from deepfluids_tpu.utils.parity import normalized_l2
 
-        if self.c.arch != "de":
-            raise NotImplementedError("evaluate() supports arch='de'")
+        if self.c.arch == "nn":
+            return self._evaluate_nn(num_samples, decode_fn)
         n = len(self.bm.ds)
         idx = np.linspace(0, n - 1, min(num_samples, n)).astype(int)
         xs, ys = zip(*[self.bm.ds.get_normalized(int(i)) for i in idx])
-        gen = self.generate(np.stack(ys))
+        xs = np.stack(xs)
+        out = {"num_samples": int(len(idx))}
+        if self.c.arch == "de":
+            gen = self.generate(np.stack(ys))
+        else:  # ae: reconstruction quality + latent supervision error
+            gen = self.reconstruct(xs)
+            z = self.encode(xs)
+            p = np.stack(ys)[:, :self.num_param]
+            out["param_mse"] = float(
+                np.mean((z[:, :self.num_param] - p) ** 2))
         l2s = np.array([normalized_l2(g, x) for g, x in zip(gen, xs)])
         # Per-frame normalized L2 is harsh on near-empty frames (tiny
         # ||x|| denominators); rmse is in normalized field units and
         # reflects perceptual quality better.
-        rmse = float(np.sqrt(np.mean((gen - np.stack(xs)) ** 2)))
-        return {"l2_mean": float(l2s.mean()),
-                "l2_median": float(np.median(l2s)),
-                "l2_max": float(l2s.max()),
-                "rmse": rmse,
-                "num_samples": int(len(idx))}
+        out.update({"l2_mean": float(l2s.mean()),
+                    "l2_median": float(np.median(l2s)),
+                    "l2_max": float(l2s.max()),
+                    "rmse": float(np.sqrt(np.mean((gen - xs) ** 2)))})
+        return out
+
+    def _evaluate_nn(self, num_samples: int, decode_fn=None) -> dict:
+        """Latent-rollout fidelity: advance each sampled scene's code from
+        z_0 over its FULL trajectory (not just the training window w) and
+        compare to the AE-encoded ground truth."""
+        n = self.codes.num_scenes
+        idx = np.linspace(0, n - 1, min(num_samples, n)).astype(int)
+        z0 = np.stack([self.codes.z[i][0] for i in idx])     # [S, z]
+        z_true = np.stack([self.codes.z[i] for i in idx], 1)  # [T, S, z]
+        p_seq = np.stack([self.codes.p[i] for i in idx], 1)   # [T, S, P]
+        apply = lambda p, zf, dp: self.state.apply_fn({"params": p}, zf, dp)
+        traj = np.asarray(self._jitted("rollout_eval", lambda pr, z, ps:
+                                       rollout(apply, pr, z, ps,
+                                               self.num_param))(
+            self.state.params, jnp.asarray(z0), jnp.asarray(p_seq)))
+        err = np.abs(traj - z_true)
+        out = {"num_samples": int(len(idx)),
+               "z_mae": float(err.mean()),
+               "z_mae_final": float(err[-1].mean()),
+               "rollout_steps": int(traj.shape[0])}
+        if decode_fn is not None:
+            # Field-space: decode a uniform subsample of rollout steps.
+            t_idx = np.linspace(0, traj.shape[0] - 1, 8).astype(int)
+            f_pred = decode_fn(traj[t_idx].reshape(-1, traj.shape[-1]))
+            f_true = decode_fn(z_true[t_idx].reshape(-1, traj.shape[-1]))
+            out["field_rmse"] = float(
+                np.sqrt(np.mean((f_pred - f_true) ** 2)))
+        return out
 
     def maybe_resume(self) -> int:
         """Auto-resume from the latest checkpoint if one exists (SURVEY §5
@@ -480,7 +598,14 @@ class Trainer:
 
     def save_checkpoint(self, wait: bool = False) -> None:
         """Async by default: Orbax serializes in the background while
-        training continues; we only block before a restore or on demand."""
+        training continues; we only block before a restore or on demand.
+
+        SURVEY §5's checkpoint contract is (params, opt state, step, RNG).
+        The RNG needs no stored state here: the data order is a pure
+        function of (config.seed, global step) — see data.dataset.step_rng
+        — so restoring ``step`` restores the exact batch stream and a
+        resumed run is bitwise-identical to an uninterrupted one
+        (pinned by tests/test_train.py exact-resume test)."""
         import orbax.checkpoint as ocp
 
         mgr = self._manager()
@@ -508,8 +633,7 @@ class Trainer:
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"])
-        self.state = jax.device_put(self.state,
-                                    replicated_sharding(self.mesh))
+        self.state = jax.device_put(self.state, self._state_sharding)
         return int(step)
 
     # ------------------------------------------------------------------
@@ -532,7 +656,9 @@ class Trainer:
                         else "vorticity")
                 save_image_grid(out, list(fields), mode=mode)
             elif c.arch == "ae":
-                x, _ = self.bm.sample_batch()
+                # Own RNG stream: the prefetch worker may concurrently call
+                # sample_batch with the training Generator (not thread-safe).
+                x, _ = self.bm.sample_batch(rng=self._dump_rng)
                 x = x[:4]
                 recon = self.reconstruct(x)
                 mode = ("levelset" if self.manifest.num_channels == 1

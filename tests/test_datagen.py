@@ -157,6 +157,38 @@ class TestGrainLoader:
         assert np.abs(x).max() <= 1.0 + 1e-6
 
 
+    def test_grain_multiprocess_workers(self, tiny_smoke_dataset):
+        # worker_count >= 2 spawns real child processes — the exact path
+        # the FieldDataset pickling support exists for (commit 9fe2ce3).
+        pytest.importorskip("grain")
+        from deepfluids_tpu.data.grain_loader import make_grain_loader
+
+        it = make_grain_loader(tiny_smoke_dataset, batch_size=4, seed=0,
+                               num_epochs=1, worker_count=2)
+        batches = list(it)
+        assert len(batches) == 4  # 16 frames / batch 4
+        for x, y in batches:
+            assert x.shape == (4, 32, 32, 2)
+            assert np.isfinite(x).all()
+
+    def test_grain_sharding_disjoint_and_deterministic(self,
+                                                       tiny_smoke_dataset):
+        pytest.importorskip("grain")
+        from deepfluids_tpu.data.grain_loader import make_grain_loader
+
+        def collect(shard_index):
+            it = make_grain_loader(tiny_smoke_dataset, batch_size=2, seed=0,
+                                   num_epochs=1, worker_count=0,
+                                   shard_index=shard_index, shard_count=2)
+            return np.concatenate([y for _, y in it])
+
+        a1, a2, b = collect(0), collect(0), collect(1)
+        np.testing.assert_array_equal(a1, a2)  # re-run reproduces stream
+        rows = lambda arr: {tuple(np.round(r, 5)) for r in arr}
+        assert not rows(a1) & rows(b)          # shards see disjoint records
+        assert len(rows(a1) | rows(b)) == 16   # and cover the epoch
+
+
 class TestMovScene:
     def test_smoke_mov_contract(self, tmp_path):
         out = scenes.smoke_mov(str(tmp_path), num_scenes=3, num_frames=5,

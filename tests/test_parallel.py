@@ -49,6 +49,65 @@ class TestHaloStencils:
         assert u.sharding.num_devices == 8
 
 
+class TestShardedFusedStencils:
+    """Multi-chip fused Pallas path (losses._maybe_shard_batch): shard_map
+    over the batch axis keeps the kernels fused per-shard instead of
+    all-gathering (r1 VERDICT item #2).  DEEPFLUIDS_PALLAS=1 forces the
+    pallas code path on the CPU mesh (interpret-mode kernels) — the exact
+    composition the multi-chip TPU trainer runs."""
+
+    def test_generator_loss_and_grads_match_oracle(self, monkeypatch):
+        monkeypatch.setenv("DEEPFLUIDS_PALLAS", "1")
+        from deepfluids_tpu.parallel import shard_batch
+        from deepfluids_tpu.train import losses
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(7)
+        psi = rng.standard_normal((8, 16, 16, 1)).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32)
+
+        def loss_fused(p):
+            l, _ = losses.generator_loss(p, x, True, 1.0, 1.0, True, mesh)
+            return l
+
+        def loss_oracle(p):
+            l, _ = losses.generator_loss(p, x, True, 1.0, 1.0, False)
+            return l
+
+        psi_s = shard_batch(mesh, psi)
+        lf, gf = jax.jit(jax.value_and_grad(loss_fused))(psi_s)
+        lo, go = jax.jit(jax.value_and_grad(loss_oracle))(jnp.asarray(psi))
+        np.testing.assert_allclose(float(lf), float(lo), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                                   atol=1e-6)
+        assert gf.sharding.num_devices == 8  # stayed sharded end-to-end
+
+    def test_3d_loss_and_grads_match_oracle(self, monkeypatch):
+        monkeypatch.setenv("DEEPFLUIDS_PALLAS", "1")
+        from deepfluids_tpu.parallel import shard_batch
+        from deepfluids_tpu.train import losses
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(8)
+        psi = rng.standard_normal((8, 6, 8, 8, 3)).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((8, 6, 8, 8, 3)), jnp.float32)
+
+        def loss_fused(p):
+            l, _ = losses.generator_loss(p, x, True, 1.0, 1.0, True, mesh)
+            return l
+
+        def loss_oracle(p):
+            l, _ = losses.generator_loss(p, x, True, 1.0, 1.0, False)
+            return l
+
+        psi_s = shard_batch(mesh, psi)
+        lf, gf = jax.jit(jax.value_and_grad(loss_fused))(psi_s)
+        lo, go = jax.jit(jax.value_and_grad(loss_oracle))(jnp.asarray(psi))
+        np.testing.assert_allclose(float(lf), float(lo), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                                   atol=1e-6)
+
+
 class TestAdvection:
     def test_constant_velocity_transport(self):
         # Uniform rightward velocity moves a blob right by dt*u per step.
@@ -105,6 +164,29 @@ class TestHalo3D:
         u = curl3d_sharded(psi, mesh)
         div = np.asarray(divergence3d_sharded(u, mesh))[:, :-2, :-2, :-2]
         np.testing.assert_allclose(div, 0.0, atol=1e-5)
+
+    def test_jacobian3d_matches_oracle(self):
+        from deepfluids_tpu.parallel.halo import jacobian3d_sharded
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((2, 16, 8, 12, 3)), jnp.float32)
+        gj, gv = jacobian3d_sharded(x, mesh)
+        wj, wv = ops.jacobian3d(x)
+        np.testing.assert_allclose(np.asarray(gj), np.asarray(wj), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=1e-6)
+
+    def test_grad_scalar_sharded_matches_oracle(self):
+        from deepfluids_tpu.parallel.halo import grad_scalar_sharded
+        from deepfluids_tpu.train.losses import _grad_scalar
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(9)
+        for shape in [(2, 16, 12, 1), (2, 8, 6, 12, 1)]:
+            s = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            got = np.asarray(grad_scalar_sharded(s, mesh))
+            want = np.asarray(_grad_scalar(s))
+            np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_single_row_shards(self):
         # H == number of shards: each shard holds ONE row — the hardest

@@ -114,3 +114,44 @@ class TestWeightsIO:
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(
             np.asarray(a).shape, np.asarray(b).shape), params, back2)
         assert out1.shape == out2.shape
+
+    def test_by_shape_flagship_order_preserving(self, tmp_path):
+        """Flagship-scale (2.98M params) by_shape import: GeneratorBE at
+        128x96/filters=128/num_conv=4 has ~21 IDENTICALLY-SHAPED
+        3x3x128x128 conv kernels — the real same-shape degeneracy of a TF1
+        export.  The import contract is: TF1 enumerates variables in graph
+        CREATION order, Flax's param dict iterates in module-call order —
+        the same architectural order — so order-within-shape-group matching
+        resolves every tensor to the right layer.  Each fixture tensor is
+        tagged with a unique fill value so misassignment is detected
+        exactly."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        import weights_io
+        from deepfluids_tpu.models import GeneratorBE
+
+        model = GeneratorBE(output_shape=(128, 96, 1), filters=128,
+                            num_conv=4)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 3)))["params"]
+        n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+        assert n > 2_900_000, f"not flagship scale: {n} params"
+
+        flat = weights_io.flatten_params(params)
+        fixture, expected = {}, {}
+        for i, (our_key, v) in enumerate(flat.items()):
+            kind = "weights" if v.ndim > 1 else "biases"
+            tf_name = f"G/var_{i:02d}/{kind}"  # TF1-ish foreign names
+            fixture[tf_name] = np.full(v.shape, float(i), np.float32)
+            expected[our_key] = float(i)
+        p = str(tmp_path / "tf1_flagship.npz")
+        np.savez_compressed(p, **fixture)
+
+        back = weights_io.import_npz(p, params, mode="by_shape")
+        back_flat = weights_io.flatten_params(back)
+        assert set(back_flat) == set(flat)
+        for k, tag in expected.items():
+            got = float(back_flat[k].ravel()[0])
+            assert got == tag, (f"{k} got tensor tagged {got}, wanted {tag} "
+                                "(order not preserved within shape group)")

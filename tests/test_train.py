@@ -286,6 +286,174 @@ class TestNoCurlPath:
         assert f.shape == (2, 32, 32, 2)  # velocity emitted directly
 
 
+class TestFusedShardedTraining:
+    def test_forced_pallas_matches_oracle_params(self, tiny_dataset,
+                                                 tmp_path, monkeypatch):
+        """The Trainer keeps the fused Pallas loss on a multi-chip mesh
+        (shard_mapped over the batch axis); params after K steps must match
+        the jnp-oracle run.  DEEPFLUIDS_PALLAS=1 forces the pallas path on
+        the 8-device CPU mesh (interpret-mode kernels)."""
+        monkeypatch.setenv("DEEPFLUIDS_PALLAS", "1")
+        c1 = tiny_config(tiny_dataset, str(tmp_path), tag="fpal")
+        t1 = Trainer(c1)
+        assert t1.mesh.shape["data"] == 8
+        t1.train(num_steps=4)
+        monkeypatch.delenv("DEEPFLUIDS_PALLAS")
+
+        c2 = tiny_config(tiny_dataset, str(tmp_path), tag="forc")
+        t2 = Trainer(c2)
+        t2.train(num_steps=4)
+        p1 = jax.device_get(t1.state.params)
+        p2 = jax.device_get(t2.state.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), p1, p2)
+
+
+class TestSpatialShard:
+    """--spatial_shard: the grid's H (2D) / D (3D) axis sharded over the
+    8-device mesh; loss via halo-exchange stencils, convs GSPMD-partitioned.
+    Params after K steps must match the replicated-oracle run (the grads-
+    match requirement of the SP/CP analogue, SURVEY §2)."""
+
+    @staticmethod
+    def _loss_and_grads(t, x, y):
+        f = jax.jit(jax.value_and_grad(
+            lambda p: t._loss_fn(p, jnp.asarray(x), jnp.asarray(y))[0]))
+        loss, grads = f(t.state.params)
+        return float(loss), jax.device_get(grads)
+
+    def test_2d_spatial_grads_match_replicated(self, tiny_dataset, tmp_path):
+        c1 = tiny_config(tiny_dataset, str(tmp_path), tag="sp2d",
+                         spatial_shard=True)
+        t1 = Trainer(c1)
+        c2 = tiny_config(tiny_dataset, str(tmp_path), tag="sp2dref")
+        t2 = Trainer(c2)
+        x, y = t2.bm.step_batch(1)
+        l1_, g1 = self._loss_and_grads(t1, x, y)  # same init (same seed)
+        l2_, g2 = self._loss_and_grads(t2, x, y)
+        np.testing.assert_allclose(l1_, l2_, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g1, g2)
+        # and the sharded path trains end-to-end
+        aux = t1.train(num_steps=2)
+        assert np.isfinite(aux["loss"])
+
+    def test_3d_spatial_single_slice_shards(self, tmp_path):
+        # depth 8 over 8 devices -> one z-slice per shard (hardest halo
+        # case) through a full 3D train step including the jacobian term.
+        scenes.smoke3_vel5_buo3(
+            str(tmp_path / "data"), num_vel=1, num_buo=1, num_frames=4,
+            depth=8, height=16, width=16, name="tiny3dsp")
+        kw = dict(dataset="tiny3dsp", batch_size=4)
+        c1 = tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"),
+                         tag="sp3d", spatial_shard=True, **kw)
+        t1 = Trainer(c1)
+        c2 = tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"),
+                         tag="sp3dref", **kw)
+        t2 = Trainer(c2)
+        x, y = t2.bm.step_batch(1)
+        l1_, g1 = self._loss_and_grads(t1, x, y)
+        l2_, g2 = self._loss_and_grads(t2, x, y)
+        np.testing.assert_allclose(l1_, l2_, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g1, g2)
+        aux = t1.train(num_steps=2)
+        assert np.isfinite(aux["loss"])
+
+    def test_spatial_shard_rejects_nn(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="spnn", arch="nn",
+                        spatial_shard=True)
+        with pytest.raises((ValueError, FileNotFoundError)):
+            Trainer(c)
+
+    def test_spatial_shard_indivisible_raises(self, tmp_path):
+        scenes.smoke_pos21_size5(
+            str(tmp_path / "data"), num_pos=1, num_size=1, num_frames=2,
+            height=36, width=32, name="odd")
+        c = tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"),
+                        dataset="odd", tag="spodd", spatial_shard=True)
+        with pytest.raises(ValueError, match="divisible"):
+            Trainer(c)
+
+
+class TestTensorParallel:
+    """num_model_shards > 1: conv/dense output channels (+ Adam state)
+    sharded over the model mesh axis, activations partitioned by XLA
+    (SURVEY §2 TP row).  Verified on a 2 (data) x 4 (model) CPU mesh."""
+
+    def test_tp_grads_match_replicated(self, tiny_dataset, tmp_path):
+        c1 = tiny_config(tiny_dataset, str(tmp_path), tag="tp",
+                         num_data_shards=2, num_model_shards=4)
+        t1 = Trainer(c1)
+        assert dict(t1.mesh.shape) == {"data": 2, "model": 4}
+        # weights actually sharded over the model axis
+        k = t1.state.params["conv_0_0"]["kernel"]
+        assert "model" in str(k.sharding.spec)
+
+        c2 = tiny_config(tiny_dataset, str(tmp_path), tag="tpref")
+        t2 = Trainer(c2)
+        x, y = t2.bm.step_batch(1)
+
+        def lag(t):
+            f = jax.jit(jax.value_and_grad(
+                lambda p: t._loss_fn(p, jnp.asarray(x), jnp.asarray(y))[0]))
+            loss, grads = f(t.state.params)
+            return float(loss), jax.device_get(grads)
+
+        l1_, g1 = lag(t1)
+        l2_, g2 = lag(t2)
+        np.testing.assert_allclose(l1_, l2_, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g1, g2)
+        # trains + checkpoints end-to-end with the sharded layout
+        aux = t1.train(num_steps=2)
+        assert np.isfinite(aux["loss"])
+        t1.save_checkpoint(wait=True)
+        t3 = Trainer(c1, run_dir=t1.run_dir, save_cfg=False)
+        assert t3.restore_checkpoint() == 2
+
+
+class TestExactResume:
+    """SURVEY §5 checkpoint contract incl. RNG: a crash-resumed run must
+    replay the identical batch stream (data order is a pure function of
+    (seed, step) — data.dataset.step_rng) and land on bitwise-equal params."""
+
+    def test_resume_bitwise_identical(self, tiny_dataset, tmp_path):
+        ca = tiny_config(tiny_dataset, str(tmp_path), tag="uninterrupted")
+        ta = Trainer(ca)
+        ta.train(num_steps=20)
+        pa = jax.device_get(ta.state.params)
+
+        cb = tiny_config(tiny_dataset, str(tmp_path), tag="interrupted")
+        tb = Trainer(cb)
+        tb.train(num_steps=10)
+        tb.save_checkpoint(wait=True)
+        tc = Trainer(cb, run_dir=tb.run_dir, save_cfg=False)
+        assert tc.restore_checkpoint() == 10
+        tc.train(num_steps=10)
+        pc = jax.device_get(tc.state.params)
+        jax.tree.map(np.testing.assert_array_equal, pa, pc)
+
+    def test_resume_device_cache_scanned(self, tiny_dataset, tmp_path):
+        # Same contract on the HBM-cache + fused-steps path (the production
+        # configuration): identical chunking, identical programs.
+        kw = dict(device_data_cache=True, steps_per_call=2)
+        ca = tiny_config(tiny_dataset, str(tmp_path), tag="cfull", **kw)
+        ta = Trainer(ca)
+        ta.train(num_steps=20)
+        pa = jax.device_get(ta.state.params)
+
+        cb = tiny_config(tiny_dataset, str(tmp_path), tag="cint", **kw)
+        tb = Trainer(cb)
+        tb.train(num_steps=10)
+        tb.save_checkpoint(wait=True)
+        tc = Trainer(cb, run_dir=tb.run_dir, save_cfg=False)
+        assert tc.restore_checkpoint() == 10
+        tc.train(num_steps=10)
+        pc = jax.device_get(tc.state.params)
+        jax.tree.map(np.testing.assert_array_equal, pa, pc)
+
+
 class TestEvaluate:
     def test_evaluate_returns_l2_stats(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="eval")
@@ -295,3 +463,28 @@ class TestEvaluate:
         assert set(r) == {"l2_mean", "l2_median", "l2_max", "rmse",
                           "num_samples"}
         assert r["num_samples"] == 8 and np.isfinite(r["l2_mean"])
+
+    def test_evaluate_ae_recon_and_param(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="evalae", arch="ae")
+        t = Trainer(c)
+        t.train(num_steps=2)
+        r = t.evaluate(num_samples=8)
+        assert "param_mse" in r and np.isfinite(r["rmse"])
+        assert np.isfinite(r["param_mse"]) and r["num_samples"] == 8
+
+    def test_evaluate_nn_rollout(self, tiny_dataset, tmp_path):
+        c_ae = tiny_config(tiny_dataset, str(tmp_path), arch="ae",
+                           tag="evae2")
+        t_ae = Trainer(c_ae)
+        t_ae.train(num_steps=2)
+        from deepfluids_tpu.infer import encode_dataset
+
+        encode_dataset(t_ae.encode, c_ae.dataset_dir, c_ae.z_num,
+                       batch_size=8)
+        c_nn = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                           tag="evnn", w_num=3)
+        t_nn = Trainer(c_nn)
+        t_nn.train(num_steps=2)
+        r = t_nn.evaluate(num_samples=2, decode_fn=t_ae.decode)
+        assert {"z_mae", "z_mae_final", "field_rmse"} <= set(r)
+        assert np.isfinite(r["z_mae"]) and r["rollout_steps"] == 4
