@@ -65,6 +65,7 @@ class Config:
     lr_min: float = 2.5e-6
     beta1: float = 0.5
     beta2: float = 0.999
+    grad_clip: float = 0.0     # >0: global-norm gradient clipping
     seed: int = 123
     log_step: int = 100
     test_step: int = 1000
@@ -132,7 +133,8 @@ def get_parser() -> argparse.ArgumentParser:
                  "num_worker", "cache_data", "is_3d", "res_x", "res_y",
                  "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
-                  "beta2", "seed", "log_step", "test_step", "save_step",
+                  "beta2", "grad_clip", "seed", "log_step", "test_step",
+                  "save_step",
                   "compute_dtype", "num_data_shards", "num_model_shards",
                   "steps_per_call", "device_data_cache", "cache_dtype",
                   "spatial_shard"],

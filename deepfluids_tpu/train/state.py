@@ -38,12 +38,22 @@ def cosine_lr_schedule(lr_max: float, lr_min: float,
 
 def make_optimizer(lr_max: float = 1e-4, lr_min: float = 2.5e-6,
                    max_step: int = 100_000, beta1: float = 0.5,
-                   beta2: float = 0.999) -> optax.GradientTransformation:
-    """Adam + cosine decay; beta1=0.5 per the reference's BEGAN-style setup."""
-    return optax.adam(
+                   beta2: float = 0.999,
+                   grad_clip: float = 0.0) -> optax.GradientTransformation:
+    """Adam + cosine decay; beta1=0.5 per the reference's BEGAN-style setup.
+
+    ``grad_clip`` > 0 prepends global-norm clipping: long high-lr schedules
+    on the full 3D dataset showed rare loss spikes (0.02 -> 17 at ~6k
+    steps, bf16 conv compute) that cost thousands of steps to recover;
+    clipping bounds the damage without changing steady-state dynamics.
+    """
+    adam = optax.adam(
         learning_rate=cosine_lr_schedule(lr_max, lr_min, max_step),
         b1=beta1, b2=beta2,
     )
+    if grad_clip and grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    return adam
 
 
 def create_train_state(

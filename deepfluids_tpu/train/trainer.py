@@ -87,7 +87,7 @@ class Trainer:
 
         # --- state ---
         tx = make_optimizer(config.lr_max, config.lr_min, config.max_step,
-                            config.beta1, config.beta2)
+                            config.beta1, config.beta2, config.grad_clip)
         rng = jax.random.PRNGKey(config.seed)
         self.state = create_train_state(
             rng, self.model, self._example_inputs(), tx)

@@ -108,6 +108,82 @@ class TestShardedFusedStencils:
                                    atol=1e-6)
 
 
+class TestRealisticResolutionSharded:
+    """Full 128x96 reference-resolution train steps on the 8-device mesh
+    (narrow filters keep CPU time sane) — catches sharding-induced layout
+    surprises that tiny-grid tests can't (r1 VERDICT weak #7)."""
+
+    def _step(self, mesh, model, state, x_sh, y_sh, rep, bsh):
+        from deepfluids_tpu.train import generator_loss
+
+        def step(state, x, y):
+            def loss_fn(p):
+                out = state.apply_fn({"params": p}, y)
+                return generator_loss(out, x, True, 1.0, 1.0)[0]
+
+            l, g = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=g), l
+
+        js = jax.jit(step, in_shardings=(rep, x_sh, y_sh),
+                     out_shardings=(rep, rep), donate_argnums=(0,))
+        return js
+
+    def test_dp_and_spatial_full_resolution(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from deepfluids_tpu.models import GeneratorBE
+        from deepfluids_tpu.parallel import (batch_sharding,
+                                             replicated_sharding,
+                                             shard_batch)
+        from deepfluids_tpu.train.state import (create_train_state,
+                                                make_optimizer)
+
+        mesh = make_mesh()
+        rep = replicated_sharding(mesh)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 128, 96, 2)).astype(np.float32)
+        y = rng.normal(size=(16, 3)).astype(np.float32)
+        tx = make_optimizer(1e-4, 1e-5, 100)
+
+        # DP: batch over 8 devices at reference resolution.
+        model = GeneratorBE(output_shape=(128, 96, 1), filters=32,
+                            num_conv=4)
+        state = jax.device_put(create_train_state(
+            jax.random.PRNGKey(0), model, (jnp.zeros((1, 3)),), tx), rep)
+        js = self._step(mesh, model, state, batch_sharding(mesh),
+                        batch_sharding(mesh), rep, batch_sharding(mesh))
+        _, l_dp = js(state, shard_batch(mesh, x), shard_batch(mesh, y))
+        assert np.isfinite(float(l_dp))
+
+        # Spatial: H=128 sharded 8 ways (16 rows/shard) with constrained
+        # conv stages + halo-stencil loss.
+        from deepfluids_tpu.train import losses
+
+        model_sp = GeneratorBE(output_shape=(128, 96, 1), filters=32,
+                               num_conv=4, spatial_mesh=mesh)
+        state_sp = jax.device_put(create_train_state(
+            jax.random.PRNGKey(0), model_sp, (jnp.zeros((1, 3)),), tx), rep)
+        sp_sh = NamedSharding(mesh, P(None, "data"))
+
+        def step_sp(state, x, y):
+            def loss_fn(p):
+                out = state.apply_fn({"params": p}, y)
+                out = jax.lax.with_sharding_constraint(out, sp_sh)
+                return losses.generator_loss_spatial(
+                    out, x, True, 1.0, 1.0, mesh)[0]
+
+            l, g = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=g), l
+
+        js_sp = jax.jit(step_sp, in_shardings=(rep, sp_sh, rep),
+                        out_shardings=(rep, rep), donate_argnums=(0,))
+        _, l_sp = js_sp(state_sp, jax.device_put(jnp.asarray(x), sp_sh),
+                        jnp.asarray(y))
+        assert np.isfinite(float(l_sp))
+        # same data, same init -> same loss irrespective of layout
+        np.testing.assert_allclose(float(l_sp), float(l_dp), rtol=1e-5)
+
+
 class TestAdvection:
     def test_constant_velocity_transport(self):
         # Uniform rightward velocity moves a blob right by dt*u per step.
