@@ -37,6 +37,8 @@ class Config:
     w1: float = 1.0            # field L1 weight
     w2: float = 1.0            # jacobian L1 weight
     w3: float = 1.0            # latent param-supervision weight (ae)
+    relative_loss: bool = False  # weight samples by 1/mean|x| (optimizes
+                                 # the per-frame normalized-L2 metric)
     # nn (latent integrator)
     nn_hidden: int = 512
     nn_depth: int = 2
@@ -127,8 +129,8 @@ def get_parser() -> argparse.ArgumentParser:
     defaults = Config()
     groups = {
         "network": ["arch", "filters", "num_conv", "repeat", "z_num",
-                    "use_curl", "w1", "w2", "w3", "nn_hidden", "nn_depth",
-                    "w_num", "remat_rollout"],
+                    "use_curl", "w1", "w2", "w3", "relative_loss",
+                    "nn_hidden", "nn_depth", "w_num", "remat_rollout"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "is_3d", "res_x", "res_y",
                  "res_z"],

@@ -93,14 +93,41 @@ def jacobian_of(x: jnp.ndarray, fused: bool | None = None,
     raise ValueError(f"unsupported field shape {x.shape}")
 
 
+def _sample_weights(target: jnp.ndarray, eps: float = 0.05) -> jnp.ndarray:
+    """Per-sample weights ~ 1 / mean|target| for relative-error training.
+
+    The benchmark quality metric (normalized per-frame L2) divides by
+    ||x||, so near-empty early frames — tiny in absolute units — dominate
+    it while contributing almost nothing to a plain L1 loss.  Weighting
+    each sample by the inverse of its mean magnitude optimizes the metric
+    directly; ``eps`` (normalized units) bounds the weight on genuinely
+    empty frames.  Weights are mean-normalized so the loss scale (and lr
+    tuning) stays comparable to the unweighted loss.
+    """
+    axes = tuple(range(1, target.ndim))
+    w = 1.0 / (jnp.mean(jnp.abs(target), axis=axes) + eps)
+    w = w / jnp.mean(w)
+    return w.reshape((-1,) + (1,) * (target.ndim - 1))
+
+
 def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
                w1: float, w2: float,
                fused: bool | None = None,
-               mesh=None) -> tuple[jnp.ndarray, dict]:
-    """w1·L1(field) + w2·L1(jacobian) — the core reconstruction loss."""
-    loss_f = l1(pred, target)
-    loss_j = l1(jacobian_of(pred, fused, mesh),
-                jacobian_of(target, fused, mesh))
+               mesh=None,
+               relative: bool = False) -> tuple[jnp.ndarray, dict]:
+    """w1·L1(field) + w2·L1(jacobian) — the core reconstruction loss.
+
+    ``relative=True`` weights every sample by 1/mean|target| (see
+    :func:`_sample_weights`) — relative-error training."""
+    if relative:
+        wb = _sample_weights(target)
+        loss_f = jnp.mean(wb * jnp.abs(pred - target))
+        loss_j = jnp.mean(wb * jnp.abs(jacobian_of(pred, fused, mesh)
+                                       - jacobian_of(target, fused, mesh)))
+    else:
+        loss_f = l1(pred, target)
+        loss_j = l1(jacobian_of(pred, fused, mesh),
+                    jacobian_of(target, fused, mesh))
     return w1 * loss_f + w2 * loss_j, {"loss_field": loss_f, "loss_jac": loss_j}
 
 
@@ -124,10 +151,11 @@ def apply_curl(out: jnp.ndarray, fused: bool | None = None,
 def generator_loss(net_out: jnp.ndarray, x: jnp.ndarray, use_curl: bool,
                    w1: float, w2: float,
                    fused: bool | None = None,
-                   mesh=None) -> tuple[jnp.ndarray, dict]:
+                   mesh=None,
+                   relative: bool = False) -> tuple[jnp.ndarray, dict]:
     """Arch "de" loss.  net_out is psi (use_curl) or the field directly."""
     pred = apply_curl(net_out, fused, mesh) if use_curl else net_out
-    loss, aux = field_loss(pred, x, w1, w2, fused, mesh)
+    loss, aux = field_loss(pred, x, w1, w2, fused, mesh, relative)
     aux["pred"] = pred
     return loss, aux
 

@@ -233,7 +233,8 @@ class Trainer:
                         out, x, use_curl, c.w1, c.w2, self.mesh)
                 else:
                     loss, aux = losses.generator_loss(
-                        out, x, use_curl, c.w1, c.w2, fused, loss_mesh)
+                        out, x, use_curl, c.w1, c.w2, fused, loss_mesh,
+                        c.relative_loss)
                 del aux["pred"]
                 return loss, aux
         elif c.arch == "ae":

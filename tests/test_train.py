@@ -77,6 +77,26 @@ class TestLosses:
         assert float(loss) == 0.0
 
 
+class TestRelativeLoss:
+    def test_weights_emphasize_small_frames(self):
+        from deepfluids_tpu.train.losses import _sample_weights
+
+        big = np.full((1, 8, 8, 2), 1.0, np.float32)
+        tiny = np.full((1, 8, 8, 2), 0.01, np.float32)
+        target = jnp.asarray(np.concatenate([big, tiny]))
+        w = np.asarray(_sample_weights(target)).ravel()
+        assert w[1] > 5 * w[0]          # near-empty frame upweighted
+        np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-5)
+
+    def test_relative_generator_loss_trains(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="rel",
+                        relative_loss=True)
+        t = Trainer(c)
+        first = t.train(num_steps=2)
+        later = t.train(num_steps=30)
+        assert later["loss"] < first["loss"]
+
+
 class TestMesh:
     def test_make_mesh_and_shard(self):
         mesh = make_mesh()
