@@ -69,6 +69,9 @@ def main(config: Config) -> dict:
             apply_fn, trainer.manifest, out_dir, counts=counts,
             num_frames=config.test_frames or None,
             batch_size=config.test_batch_size, save_png_every=20)
+        # Quality metrics ride along with every sweep (repeatable eval,
+        # not a notebook fact): generated-vs-dataset L2/rmse.
+        result["eval"] = trainer.evaluate(num_samples=128)
         log.info("sweep done: %s", result)
         return result
     if config.arch == "ae":

@@ -1,0 +1,45 @@
+"""Evaluate a trained run directory and append the result to BENCHMARKS.jsonl.
+
+Rebuilds the Trainer from the run's own persisted params.json, restores the
+latest checkpoint, and runs ``Trainer.evaluate()`` (per-arch quality metrics:
+de = generated-vs-dataset field L2/rmse, ae = reconstruction + param MSE,
+nn = latent rollout error).  One process per run (compiles through the axon
+tunnel are slow).
+
+Usage: python tools/eval_run.py <run_dir> [num_samples] [note]
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    run_dir = sys.argv[1]
+    num_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    note = sys.argv[3] if len(sys.argv) > 3 else ""
+
+    import jax
+
+    from deepfluids_tpu.config import load_config
+    from deepfluids_tpu.train.trainer import Trainer
+
+    cfg = load_config(run_dir)
+    t = Trainer(cfg, run_dir=run_dir, save_cfg=False)
+    step = t.restore_checkpoint()
+    r = t.evaluate(num_samples=num_samples)
+    rec = {"metric": f"eval_{cfg.arch}", "run": os.path.basename(run_dir),
+           "step": int(step), **r, "note": note,
+           "backend": jax.default_backend(),
+           "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
