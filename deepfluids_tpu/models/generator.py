@@ -61,6 +61,27 @@ def default_repeat(output_shape: Sequence[int]) -> int:
     return int(math.log2(max(output_shape[:-1]))) - 2
 
 
+def fourier_embed(z: jnp.ndarray, bands: int) -> jnp.ndarray:
+    """Fourier-feature embedding of a parameter vector (additive capability).
+
+    [B, P] -> [B, P*(2*bands+1)]: z concatenated with sin/cos(2^k pi z) for
+    k = 0..bands-1.  The reference feeds raw params through a single linear
+    layer (SURVEY.md §2 "Generator"), which caps how much high-frequency
+    temporal detail the decoder can express along the ``frame`` axis — the
+    measured error profile concentrates on the fast-evolving plume frames.
+    Params are normalized to [-1, 1], so band k spans 2^k half-periods over
+    an axis's range.  Off (bands=0) by default for reference parity.
+    """
+    if bands <= 0:
+        return z
+    k = 2.0 ** jnp.arange(bands, dtype=z.dtype) * jnp.pi
+    ang = z[..., None] * k                      # [B, P, bands]
+    feats = jnp.concatenate(
+        [jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [B, P, 2*bands]
+    return jnp.concatenate(
+        [z, feats.reshape(z.shape[:-1] + (-1,))], axis=-1)
+
+
 def upscale_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Nearest-neighbor spatial upsampling for NHWC / NDHWC tensors.
 
@@ -89,6 +110,8 @@ class GeneratorBE(nn.Module):
       dtype: compute dtype (bf16 on TPU for speed; params stay f32).
       spatial_mesh: when set (--spatial_shard), stage activations are
         sharding-constrained via :func:`spatial_constraint`.
+      embed_bands: >0 applies :func:`fourier_embed` to the input vector
+        (widens fc_in only; 0 = reference-parity).
     """
 
     output_shape: tuple[int, ...] = (128, 96, 1)
@@ -98,6 +121,7 @@ class GeneratorBE(nn.Module):
     act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
     spatial_mesh: Any = None
+    embed_bands: int = 0
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +138,7 @@ class GeneratorBE(nn.Module):
 
         act = lambda v: nn.leaky_relu(v, negative_slope=self.act_slope)
 
+        z = fourier_embed(z, self.embed_bands)
         x = nn.Dense(int(np.prod(coarse)) * self.filters, dtype=self.dtype,
                      name="fc_in")(z.astype(self.dtype))
         x = x.reshape((-1,) + coarse + (self.filters,))

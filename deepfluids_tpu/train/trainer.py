@@ -174,7 +174,8 @@ class Trainer:
         if c.arch == "de":
             return GeneratorBE(output_shape=out_shape, filters=c.filters,
                                num_conv=c.num_conv, repeat=c.repeat,
-                               dtype=self.dtype, spatial_mesh=smesh)
+                               dtype=self.dtype, spatial_mesh=smesh,
+                               embed_bands=c.embed_bands)
         if c.arch == "ae":
             return Autoencoder(output_shape=out_shape, z_num=c.z_num,
                                filters=c.filters, num_conv=c.num_conv,

@@ -171,3 +171,39 @@ class TestRolloutRemat:
             rollout(apply_fn, p, z0, p_seq, 2, remat=True) ** 2))(params)
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree.leaves(g))
+
+
+class TestFourierEmbed:
+    def test_shape_and_identity_band0(self):
+        from deepfluids_tpu.models.generator import fourier_embed
+
+        z = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (4, 3)),
+                        jnp.float32)
+        np.testing.assert_array_equal(np.asarray(fourier_embed(z, 0)),
+                                      np.asarray(z))
+        e = fourier_embed(z, 5)
+        assert e.shape == (4, 3 * (2 * 5 + 1))
+        # first P columns are the raw params
+        np.testing.assert_array_equal(np.asarray(e[:, :3]), np.asarray(z))
+
+    def test_band_frequencies(self):
+        from deepfluids_tpu.models.generator import fourier_embed
+
+        z = jnp.asarray([[0.5]], jnp.float32)
+        e = np.asarray(fourier_embed(z, 2))[0]
+        # layout: [z, sin(pi z), sin(2 pi z), cos(pi z), cos(2 pi z)]
+        np.testing.assert_allclose(
+            e, [0.5, np.sin(np.pi * 0.5), np.sin(np.pi),
+                np.cos(np.pi * 0.5), np.cos(np.pi)], atol=1e-6)
+
+    def test_generator_with_embedding_trains(self):
+        m = GeneratorBE(output_shape=(16, 16, 1), filters=8, num_conv=2,
+                        embed_bands=4)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))["params"]
+        # fc_in widened to P*(2B+1) inputs; output shape unchanged
+        assert p["fc_in"]["kernel"].shape[0] == 3 * 9
+        out = m.apply({"params": p}, jnp.ones((2, 3)))
+        assert out.shape == (2, 16, 16, 1)
+        g = jax.grad(lambda pp: jnp.sum(
+            m.apply({"params": pp}, jnp.ones((2, 3))) ** 2))(p)
+        assert np.isfinite(np.asarray(g["fc_in"]["kernel"])).all()

@@ -97,6 +97,20 @@ class TestRelativeLoss:
         assert later["loss"] < first["loss"]
 
 
+class TestParamEmbed:
+    def test_embed_bands_trains_and_evaluates(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="emb",
+                        embed_bands=6)
+        t = Trainer(c)
+        # fc_in widened to P*(2B+1) = 3*13 inputs
+        assert t.state.params["fc_in"]["kernel"].shape[0] == 3 * 13
+        first = t.train(num_steps=2)
+        later = t.train(num_steps=30)
+        assert later["loss"] < first["loss"]
+        ev = t.evaluate(num_samples=8)   # generate() path embeds too
+        assert np.isfinite(ev["l2_median"])
+
+
 class TestMesh:
     def test_make_mesh_and_shard(self):
         mesh = make_mesh()
