@@ -39,6 +39,8 @@ class Config:
     w3: float = 1.0            # latent param-supervision weight (ae)
     relative_loss: bool = False  # weight samples by 1/mean|x| (optimizes
                                  # the per-frame normalized-L2 metric)
+    loss_norm: str = "l1"      # per-element distance of the field/jacobian
+                               # loss terms: "l1" (reference) | "l2"
     embed_bands: int = 0       # >0: Fourier-embed the generator's param
                                # vector (sin/cos(2^k pi p), k<bands) — more
                                # high-frequency capacity along the frame
@@ -134,8 +136,8 @@ def get_parser() -> argparse.ArgumentParser:
     groups = {
         "network": ["arch", "filters", "num_conv", "repeat", "z_num",
                     "use_curl", "w1", "w2", "w3", "relative_loss",
-                    "embed_bands", "nn_hidden", "nn_depth", "w_num",
-                    "remat_rollout"],
+                    "loss_norm", "embed_bands", "nn_hidden", "nn_depth",
+                    "w_num", "remat_rollout"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "is_3d", "res_x", "res_y",
                  "res_z"],

@@ -114,20 +114,26 @@ def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
                w1: float, w2: float,
                fused: bool | None = None,
                mesh=None,
-               relative: bool = False) -> tuple[jnp.ndarray, dict]:
-    """w1·L1(field) + w2·L1(jacobian) — the core reconstruction loss.
+               relative: bool = False,
+               norm: str = "l1") -> tuple[jnp.ndarray, dict]:
+    """w1·dist(field) + w2·dist(jacobian) — the core reconstruction loss.
 
     ``relative=True`` weights every sample by 1/mean|target| (see
-    :func:`_sample_weights`) — relative-error training."""
+    :func:`_sample_weights`) — relative-error training.  ``norm`` selects
+    the per-element distance: "l1" (reference, SURVEY §3.1) or "l2"
+    (squared error; smooth gradients refine small residuals faster under
+    Adam than L1's constant-magnitude sign gradient)."""
+    dist = jnp.abs if norm == "l1" else jnp.square
+    ef = dist(pred - target)
+    ej = dist(jacobian_of(pred, fused, mesh) - jacobian_of(target, fused,
+                                                           mesh))
     if relative:
         wb = _sample_weights(target)
-        loss_f = jnp.mean(wb * jnp.abs(pred - target))
-        loss_j = jnp.mean(wb * jnp.abs(jacobian_of(pred, fused, mesh)
-                                       - jacobian_of(target, fused, mesh)))
+        loss_f = jnp.mean(wb * ef)
+        loss_j = jnp.mean(wb * ej)
     else:
-        loss_f = l1(pred, target)
-        loss_j = l1(jacobian_of(pred, fused, mesh),
-                    jacobian_of(target, fused, mesh))
+        loss_f = jnp.mean(ef)
+        loss_j = jnp.mean(ej)
     return w1 * loss_f + w2 * loss_j, {"loss_field": loss_f, "loss_jac": loss_j}
 
 
@@ -152,10 +158,11 @@ def generator_loss(net_out: jnp.ndarray, x: jnp.ndarray, use_curl: bool,
                    w1: float, w2: float,
                    fused: bool | None = None,
                    mesh=None,
-                   relative: bool = False) -> tuple[jnp.ndarray, dict]:
+                   relative: bool = False,
+                   norm: str = "l1") -> tuple[jnp.ndarray, dict]:
     """Arch "de" loss.  net_out is psi (use_curl) or the field directly."""
     pred = apply_curl(net_out, fused, mesh) if use_curl else net_out
-    loss, aux = field_loss(pred, x, w1, w2, fused, mesh, relative)
+    loss, aux = field_loss(pred, x, w1, w2, fused, mesh, relative, norm)
     aux["pred"] = pred
     return loss, aux
 
@@ -164,14 +171,15 @@ def autoencoder_loss(net_out: jnp.ndarray, z: jnp.ndarray, x: jnp.ndarray,
                      y: jnp.ndarray, use_curl: bool, num_param: int,
                      w1: float, w2: float, w3: float,
                      fused: bool | None = None,
-                     mesh=None) -> tuple[jnp.ndarray, dict]:
+                     mesh=None,
+                     norm: str = "l1") -> tuple[jnp.ndarray, dict]:
     """Arch "ae" loss: reconstruction + latent-parameter supervision.
 
     z[:, :num_param] is driven to equal the normalized sim params y so the
     latent space is steerable (SURVEY.md §3.3).
     """
     pred = apply_curl(net_out, fused, mesh) if use_curl else net_out
-    rec, aux = field_loss(pred, x, w1, w2, fused, mesh)
+    rec, aux = field_loss(pred, x, w1, w2, fused, mesh, norm=norm)
     loss_p = l2(z[:, :num_param], y[:, :num_param])
     aux.update({"loss_param": loss_p, "pred": pred})
     return rec + w3 * loss_p, aux

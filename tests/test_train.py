@@ -97,6 +97,26 @@ class TestRelativeLoss:
         assert later["loss"] < first["loss"]
 
 
+class TestLossNorm:
+    def test_l2_norm_squares_residuals(self):
+        from deepfluids_tpu.train.losses import field_loss
+
+        x = jnp.zeros((2, 8, 8, 2))
+        p = jnp.full((2, 8, 8, 2), 0.5)
+        l1_loss, _ = field_loss(p, x, 1.0, 0.0)
+        l2_loss, _ = field_loss(p, x, 1.0, 0.0, norm="l2")
+        np.testing.assert_allclose(float(l1_loss), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(l2_loss), 0.25, rtol=1e-6)
+
+    def test_l2_norm_trains(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="l2n",
+                        loss_norm="l2")
+        t = Trainer(c)
+        first = t.train(num_steps=2)
+        later = t.train(num_steps=30)
+        assert later["loss"] < first["loss"]
+
+
 class TestParamEmbed:
     def test_embed_bands_trains_and_evaluates(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="emb",
