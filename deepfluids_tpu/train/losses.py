@@ -129,6 +129,11 @@ def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
                                                            mesh))
     if relative:
         wb = _sample_weights(target)
+        if norm == "l2":
+            # Squared weights make the weighted MSE the true (eps-bounded)
+            # per-frame relative L2^2: mean_b[ MSE_b / (mean|x|_b + eps)^2 ].
+            wb = jnp.square(wb)
+            wb = wb / jnp.mean(wb)
         loss_f = jnp.mean(wb * ef)
         loss_j = jnp.mean(wb * ej)
     else:

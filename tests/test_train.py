@@ -108,6 +108,23 @@ class TestLossNorm:
         np.testing.assert_allclose(float(l1_loss), 0.5, rtol=1e-6)
         np.testing.assert_allclose(float(l2_loss), 0.25, rtol=1e-6)
 
+    def test_relative_l2_uses_squared_weights(self):
+        """relative + norm=l2 optimizes the true per-frame relative L2^2:
+        weights are squared (then mean-normalized) vs the l1 path."""
+        from deepfluids_tpu.train.losses import _sample_weights, field_loss
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 8, 8, 2)) *
+                        np.array([1.0, 0.3, 0.05, 0.01])[:, None, None, None],
+                        dtype=jnp.float32)
+        p = x + jnp.asarray(rng.normal(size=x.shape), dtype=jnp.float32) * 0.1
+        loss, _ = field_loss(p, x, 1.0, 0.0, relative=True, norm="l2")
+        wb = np.square(np.asarray(_sample_weights(x)).ravel())
+        wb = wb / wb.mean()
+        per_sample_mse = np.mean(np.square(np.asarray(p - x)), axis=(1, 2, 3))
+        np.testing.assert_allclose(float(loss),
+                                   np.mean(wb * per_sample_mse), rtol=1e-5)
+
     def test_l2_norm_trains(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="l2n",
                         loss_norm="l2")
