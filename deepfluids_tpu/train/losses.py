@@ -177,14 +177,16 @@ def autoencoder_loss(net_out: jnp.ndarray, z: jnp.ndarray, x: jnp.ndarray,
                      w1: float, w2: float, w3: float,
                      fused: bool | None = None,
                      mesh=None,
+                     relative: bool = False,
                      norm: str = "l1") -> tuple[jnp.ndarray, dict]:
     """Arch "ae" loss: reconstruction + latent-parameter supervision.
 
     z[:, :num_param] is driven to equal the normalized sim params y so the
-    latent space is steerable (SURVEY.md §3.3).
+    latent space is steerable (SURVEY.md §3.3).  ``relative``/``norm`` are
+    the same quality knobs as :func:`generator_loss`.
     """
     pred = apply_curl(net_out, fused, mesh) if use_curl else net_out
-    rec, aux = field_loss(pred, x, w1, w2, fused, mesh, norm=norm)
+    rec, aux = field_loss(pred, x, w1, w2, fused, mesh, relative, norm)
     loss_p = l2(z[:, :num_param], y[:, :num_param])
     aux.update({"loss_param": loss_p, "pred": pred})
     return rec + w3 * loss_p, aux

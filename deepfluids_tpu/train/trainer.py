@@ -249,7 +249,7 @@ class Trainer:
                 else:
                     loss, aux = losses.autoencoder_loss(
                         out, z, x, y, use_curl, num_param, c.w1, c.w2,
-                        c.w3, fused, loss_mesh, c.loss_norm)
+                        c.w3, fused, loss_mesh, c.relative_loss, c.loss_norm)
                 del aux["pred"]
                 return loss, aux
         else:  # nn — batch is (z_seq [W,B,z], p_seq [W,B,P])
