@@ -45,6 +45,10 @@ class Config:
                                # vector (sin/cos(2^k pi p), k<bands) — more
                                # high-frequency capacity along the frame
                                # axis; 0 = reference-parity (arch de only)
+    spectral_modes: int = 0    # >0: zero-init learned global Fourier
+                               # filter (channel-diagonal FNO core) after
+                               # each generator stage; 0 = reference-parity
+                               # (arch de only)
     # nn (latent integrator)
     nn_hidden: int = 512
     nn_depth: int = 2
@@ -136,7 +140,8 @@ def get_parser() -> argparse.ArgumentParser:
     groups = {
         "network": ["arch", "filters", "num_conv", "repeat", "z_num",
                     "use_curl", "w1", "w2", "w3", "relative_loss",
-                    "loss_norm", "embed_bands", "nn_hidden", "nn_depth",
+                    "loss_norm", "embed_bands", "spectral_modes",
+                    "nn_hidden", "nn_depth",
                     "w_num", "remat_rollout"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "is_3d", "res_x", "res_y",

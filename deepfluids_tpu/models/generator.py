@@ -82,6 +82,76 @@ def fourier_embed(z: jnp.ndarray, bands: int) -> jnp.ndarray:
         [z, feats.reshape(z.shape[:-1] + (-1,))], axis=-1)
 
 
+class SpectralResidual(nn.Module):
+    """Learned global filter over the lowest Fourier modes, as a residual.
+
+    Additive capability (no reference analogue; off by default).  The
+    config #2 error analysis (BENCHMARKS.md "quality plateau, diagnosed")
+    localized the architecture floor to interior, LOW-frequency residuals:
+    the conv pyramid's 3x3 receptive fields refine global structure slowly.
+    This layer multiplies the lowest modes ``|k| < modes`` of each channel
+    by learned complex gains — a learned global convolution, the
+    channel-diagonal (parameter-cheap) core of an FNO spectral layer — and
+    adds the result back.  Zero-init: starts as identity, so training
+    dynamics match the baseline until the filter learns (same rationale as
+    the latent head zero-init).
+
+    TPU-native implementation: with only K = 2*modes-1 retained modes per
+    axis, the truncated DFT is a [N, K] matmul per spatial axis (separable
+    einsums against precomputed cos/sin bases) rather than an FFT — it runs
+    on the MXU, needs no complex dtype, and costs O(N·K) instead of
+    O(N log N) with K << N.  (The axon TPU runtime does not implement XLA's
+    FFT/complex ops at all, so this is also the only path that runs there.)
+    Complex arithmetic is carried as explicit (re, im) pairs; computed in
+    f32, residual cast back to the compute dtype.
+    """
+
+    modes: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spatial = x.shape[1:-1]
+        ch = x.shape[-1]
+        ndim = len(spatial)
+        xr = x.astype(jnp.float32)
+        xi = jnp.zeros_like(xr)
+
+        # Per-axis truncated-DFT bases over the symmetric low-mode set
+        # {-(modes-1), ..., 0, ..., modes-1} (clipped to the axis size).
+        fw, inv, ks = [], [], []
+        for n in spatial:
+            m = min(self.modes, (n + 1) // 2)
+            freqs = np.concatenate([np.arange(m), np.arange(-(m - 1), 0)])
+            ang = 2.0 * np.pi * np.outer(np.arange(n), freqs) / n  # [N, K]
+            e_c = jnp.asarray(np.cos(ang), jnp.float32)
+            e_s = jnp.asarray(np.sin(ang), jnp.float32)
+            fw.append((e_c, -e_s))                # [N, K], exp(-i ang)
+            inv.append((e_c.T / n, e_s.T / n))    # [K, N], exp(+i ang)/N
+            ks.append(len(freqs))
+
+        def contract(re, im, basis, axis):
+            bc, bs = basis
+            # einsum over the given spatial axis: [.., N, ..] x [N, K]
+            sub = "abcde"[:re.ndim]
+            eq = f"{sub},{sub[axis]}z->{sub.replace(sub[axis], 'z')}"
+            rr, ri = jnp.einsum(eq, re, bc), jnp.einsum(eq, re, bs)
+            ir, ii = jnp.einsum(eq, im, bc), jnp.einsum(eq, im, bs)
+            return rr - ii, ri + ir           # (a+ib)(c+is)
+
+        for ax in range(ndim):
+            xr, xi = contract(xr, xi, fw[ax], 1 + ax)
+
+        gr = self.param("gain_re", nn.initializers.zeros,
+                        tuple(ks) + (ch,), jnp.float32)
+        gi = self.param("gain_im", nn.initializers.zeros,
+                        tuple(ks) + (ch,), jnp.float32)
+        xr, xi = xr * gr - xi * gi, xr * gi + xi * gr
+
+        for ax in range(ndim):
+            xr, xi = contract(xr, xi, inv[ax], 1 + ax)
+        return x + xr.astype(x.dtype)
+
+
 def upscale_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Nearest-neighbor spatial upsampling for NHWC / NDHWC tensors.
 
@@ -112,6 +182,8 @@ class GeneratorBE(nn.Module):
         sharding-constrained via :func:`spatial_constraint`.
       embed_bands: >0 applies :func:`fourier_embed` to the input vector
         (widens fc_in only; 0 = reference-parity).
+      spectral_modes: >0 appends a zero-init :class:`SpectralResidual`
+        global filter to each stage's conv stack (0 = reference-parity).
     """
 
     output_shape: tuple[int, ...] = (128, 96, 1)
@@ -122,6 +194,7 @@ class GeneratorBE(nn.Module):
     dtype: jnp.dtype = jnp.float32
     spatial_mesh: Any = None
     embed_bands: int = 0
+    spectral_modes: int = 0
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -148,6 +221,10 @@ class GeneratorBE(nn.Module):
             for c in range(self.num_conv):
                 x = act(nn.Conv(self.filters, kernel, dtype=self.dtype,
                                 name=f"conv_{stage}_{c}")(x))
+                x = spatial_constraint(x, self.spatial_mesh)
+            if self.spectral_modes > 0:
+                x = SpectralResidual(self.spectral_modes,
+                                     name=f"spectral_{stage}")(x)
                 x = spatial_constraint(x, self.spatial_mesh)
             if stage < rep - 1:
                 x = upscale_nearest(x + x0, 2)

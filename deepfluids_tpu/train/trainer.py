@@ -175,7 +175,8 @@ class Trainer:
             return GeneratorBE(output_shape=out_shape, filters=c.filters,
                                num_conv=c.num_conv, repeat=c.repeat,
                                dtype=self.dtype, spatial_mesh=smesh,
-                               embed_bands=c.embed_bands)
+                               embed_bands=c.embed_bands,
+                               spectral_modes=c.spectral_modes)
         if c.arch == "ae":
             return Autoencoder(output_shape=out_shape, z_num=c.z_num,
                                filters=c.filters, num_conv=c.num_conv,

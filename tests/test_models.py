@@ -207,3 +207,39 @@ class TestFourierEmbed:
         g = jax.grad(lambda pp: jnp.sum(
             m.apply({"params": pp}, jnp.ones((2, 3))) ** 2))(p)
         assert np.isfinite(np.asarray(g["fc_in"]["kernel"])).all()
+
+
+class TestSpectralResidual:
+    def test_identity_at_init(self):
+        from deepfluids_tpu.models.generator import SpectralResidual
+
+        m = SpectralResidual(modes=4)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 12, 8)),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(x),
+                                   atol=1e-6)
+
+    def test_filter_acts_and_differentiates(self):
+        from deepfluids_tpu.models.generator import SpectralResidual
+
+        m = SpectralResidual(modes=3)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 8, 4)),
+                        jnp.float32)
+        v = jax.tree.map(lambda a: a + 0.2, m.init(jax.random.PRNGKey(0), x))
+        y = m.apply(v, x)
+        assert float(jnp.abs(y - x).max()) > 1e-3
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(v)
+        assert all(np.isfinite(np.asarray(l)).all() and
+                   float(jnp.abs(l).max()) > 0 for l in jax.tree.leaves(g))
+
+    def test_generator_spectral_2d_3d(self):
+        for shape in [(32, 24, 1), (16, 16, 8, 3)]:
+            m = GeneratorBE(output_shape=shape, filters=8, num_conv=2,
+                            spectral_modes=4)
+            z = jnp.ones((2, 3))
+            p = m.init(jax.random.PRNGKey(0), z)["params"]
+            assert any(k.startswith("spectral_") for k in p)
+            out = m.apply({"params": p}, z)
+            assert out.shape == (2,) + shape
+            assert np.isfinite(np.asarray(out)).all()
