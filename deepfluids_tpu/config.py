@@ -116,6 +116,15 @@ class Config:
                                # "" -> the dataset's own generation grid
                                # (manifest param_counts), like the reference
 
+    watchdog_secs: float = 0.0        # >0: abort (exit 17) if a train-loop
+                                      # device call completes no progress
+                                      # for this long — lost-RPC/hang
+                                      # detection; pair with a supervisor
+                                      # loop that relaunches with
+                                      # --load_path (resume is exact).
+                                      # Set above worst-case compile
+                                      # (first 3D backward ~10 min).
+
     # --- observability / debugging (SURVEY.md §5 aux subsystems) ---
     use_tensorboard: bool = False   # tensorboardX scalars beside metrics.jsonl
     profile_steps: str = ""         # "start,stop" step range to trace
@@ -151,7 +160,7 @@ def get_parser() -> argparse.ArgumentParser:
                   "save_step",
                   "compute_dtype", "num_data_shards", "num_model_shards",
                   "steps_per_call", "device_data_cache", "cache_dtype",
-                  "spatial_shard"],
+                  "spatial_shard", "watchdog_secs"],
         "test": ["load_path", "ae_load_path", "test_batch_size",
                  "test_frames", "test_counts"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",

@@ -101,6 +101,8 @@ class Trainer:
                  dict(self.mesh.shape))
 
         self._dump_rng = np.random.default_rng(config.seed + 7919)
+        self._wd_deadline: float | None = None   # armed hang-watchdog
+        self._wd_thread = None
         self._train_step = self._make_train_step()
         self._metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
         self._ckpt_mgr = None
@@ -419,6 +421,41 @@ class Trainer:
                                               step=start_step + k + 1)
 
     # ------------------------------------------------------------------
+    # hang watchdog (SURVEY.md §5 "failure detection": observed failure
+    # mode — a runtime RPC response silently dropped by the transport
+    # leaves the process blocked in a device call forever; 28 min of dead
+    # chip time before manual intervention on 2026-08-17's 3D run)
+    # ------------------------------------------------------------------
+
+    def _wd_abort(self) -> None:  # overridable in tests
+        os._exit(17)
+
+    def _wd_start(self, timeout: float) -> None:
+        """Start the daemon watcher.  The train loop arms ``_wd_deadline``
+        before device work and clears it after; if the deadline passes
+        while armed, the process aborts with exit code 17 so a supervisor
+        can relaunch with ``--load_path`` (resume is exact — same batch
+        sequence, bitwise-identical trajectory)."""
+        import threading
+
+        if self._wd_thread is not None:
+            return
+
+        def watch():
+            while True:
+                time.sleep(min(5.0, timeout / 4))
+                d = self._wd_deadline
+                if d is not None and time.monotonic() > d:
+                    log.error("watchdog: no device-call progress in %.0fs "
+                              "— aborting for supervised resume (exit 17)",
+                              timeout)
+                    self._wd_abort()
+
+        self._wd_thread = threading.Thread(target=watch, daemon=True,
+                                           name="hang-watchdog")
+        self._wd_thread.start()
+
+    # ------------------------------------------------------------------
     # loop
     # ------------------------------------------------------------------
 
@@ -449,8 +486,18 @@ class Trainer:
         def crossed(period: int, step: int, take: int) -> bool:
             return step // period > (step - take) // period
 
+        wd = float(c.watchdog_secs)
+        if wd > 0:
+            self._wd_start(wd)
+        first_call = True
+
         with open(self._metrics_path, "a") as mf:
             while seen < num_steps:
+                if wd > 0:
+                    # First chunk compiles the program (minutes through slow
+                    # runtimes) — give it a 10x allowance.
+                    self._wd_deadline = time.monotonic() + (
+                        wd * 10 if first_call else wd)
                 take = min(k, num_steps - seen)
                 if not use_cache:
                     pairs = [next(it) for _ in range(take)]
@@ -498,6 +545,8 @@ class Trainer:
                     self._dump_samples(step)
                 if crossed(c.save_step, step, take) or seen == num_steps:
                     self.save_checkpoint()
+                self._wd_deadline = None
+                first_call = False
         if profiling:
             jax.profiler.stop_trace()
         if self._tb is not None:

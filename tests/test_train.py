@@ -559,3 +559,36 @@ class TestEvaluate:
         r = t_nn.evaluate(num_samples=2, decode_fn=t_ae.decode)
         assert {"z_mae", "z_mae_final", "field_rmse"} <= set(r)
         assert np.isfinite(r["z_mae"]) and r["rollout_steps"] == 4
+
+
+class TestWatchdog:
+    def test_fires_on_stalled_deadline(self, tiny_dataset, tmp_path):
+        import threading
+        import time as _time
+
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="wd")
+        t = Trainer(c)
+        fired = threading.Event()
+        t._wd_abort = fired.set          # don't os._exit the test runner
+        t._wd_start(timeout=0.2)
+        t._wd_deadline = _time.monotonic() - 1.0   # armed + already expired
+        assert fired.wait(timeout=3.0), "watchdog did not fire"
+
+    def test_disarmed_does_not_fire(self, tiny_dataset, tmp_path):
+        import threading
+
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="wd2")
+        t = Trainer(c)
+        fired = threading.Event()
+        t._wd_abort = fired.set
+        t._wd_start(timeout=0.2)
+        t._wd_deadline = None
+        assert not fired.wait(timeout=0.8)
+
+    def test_training_with_watchdog_completes(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="wd3",
+                        watchdog_secs=60.0)
+        t = Trainer(c)
+        out = t.train(num_steps=4)
+        assert np.isfinite(out["loss"])
+        assert t._wd_deadline is None    # disarmed between chunks
