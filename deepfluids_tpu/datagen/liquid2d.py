@@ -186,9 +186,7 @@ def _levelset_from_mass(mass, redist_iters):
     ~40% of a full cell's (4 particles), then redistanced."""
     occ = mass / 4.0
     # one 3x3 box blur knocks down particle-lattice aliasing
-    on = jnp.pad(occ, 1, mode="edge")
-    occ = sum(on[1 + dy:on.shape[0] - 1 + dy, 1 + dx:on.shape[1] - 1 + dx]
-              for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+    occ = _box3(occ)
     phi = (0.4 - occ) * 3.0
     return _redistance(phi, redist_iters)
 

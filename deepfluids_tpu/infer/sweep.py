@@ -123,7 +123,22 @@ def sweep_on_device(
         _, out = jax.lax.scan(step, None, chunks)
         return out
 
-    parts = [np.asarray(sweep(jnp.asarray(seg))) for seg in segs]
+    # Fetch each segment in bounded slices so every RPC stays under
+    # max_out_bytes even when a SINGLE batch exceeds it (huge batch_size x
+    # 3D fields): slicing a device array fetches only the slice.
+    rows_per_fetch = int(max_out_bytes // (field_bytes * batch_size))
+    parts = []
+    for seg in segs:
+        dev = sweep(jnp.asarray(seg))          # [chunks, batch, *res, C]
+        if rows_per_fetch >= 1:
+            for i in range(0, dev.shape[0], rows_per_fetch):
+                parts.append(np.asarray(dev[i:i + rows_per_fetch]).reshape(
+                    (-1,) + manifest.field_shape))
+        else:
+            spf = max(1, int(max_out_bytes // field_bytes))
+            for i in range(dev.shape[0]):      # one batch is itself > cap
+                for j in range(0, batch_size, spf):
+                    parts.append(np.asarray(dev[i, j:j + spf]))
     out = np.concatenate(parts).reshape((-1,) + manifest.field_shape)
     if pad:
         out = out[:-pad]

@@ -207,23 +207,41 @@ def jacobian_of_spatial(x: jnp.ndarray, mesh) -> jnp.ndarray:
 
 
 def field_loss_spatial(pred: jnp.ndarray, target: jnp.ndarray,
-                       w1: float, w2: float, mesh) -> tuple[jnp.ndarray, dict]:
-    """Spatially-sharded :func:`field_loss` (same math, halo stencils)."""
-    loss_f = l1(pred, target)
-    loss_j = l1(jacobian_of_spatial(pred, mesh),
-                jacobian_of_spatial(target, mesh))
+                       w1: float, w2: float, mesh,
+                       relative: bool = False,
+                       norm: str = "l1") -> tuple[jnp.ndarray, dict]:
+    """Spatially-sharded :func:`field_loss` (same math, halo stencils).
+
+    ``relative``/``norm`` mirror :func:`field_loss` exactly — the reduction
+    runs under GSPMD (outside the halo shard_maps), so per-sample weights
+    and squared distances partition the same way the plain means do."""
+    dist = jnp.abs if norm == "l1" else jnp.square
+    ef = dist(pred - target)
+    ej = dist(jacobian_of_spatial(pred, mesh) -
+              jacobian_of_spatial(target, mesh))
+    if relative:
+        wb = _sample_weights(target)
+        if norm == "l2":
+            wb = jnp.square(wb)
+            wb = wb / jnp.mean(wb)
+        loss_f = jnp.mean(wb * ef)
+        loss_j = jnp.mean(wb * ej)
+    else:
+        loss_f = jnp.mean(ef)
+        loss_j = jnp.mean(ej)
     return (w1 * loss_f + w2 * loss_j,
             {"loss_field": loss_f, "loss_jac": loss_j})
 
 
 def generator_loss_spatial(net_out: jnp.ndarray, x: jnp.ndarray,
                            use_curl: bool, w1: float, w2: float,
-                           mesh) -> tuple[jnp.ndarray, dict]:
+                           mesh, relative: bool = False,
+                           norm: str = "l1") -> tuple[jnp.ndarray, dict]:
     """Arch "de" loss with the grid's H (2D) / D (3D) axis sharded."""
     from deepfluids_tpu.parallel import halo
 
     pred = halo.curl_sharded(net_out, mesh) if use_curl else net_out
-    loss, aux = field_loss_spatial(pred, x, w1, w2, mesh)
+    loss, aux = field_loss_spatial(pred, x, w1, w2, mesh, relative, norm)
     aux["pred"] = pred
     return loss, aux
 
@@ -231,12 +249,13 @@ def generator_loss_spatial(net_out: jnp.ndarray, x: jnp.ndarray,
 def autoencoder_loss_spatial(net_out: jnp.ndarray, z: jnp.ndarray,
                              x: jnp.ndarray, y: jnp.ndarray, use_curl: bool,
                              num_param: int, w1: float, w2: float, w3: float,
-                             mesh) -> tuple[jnp.ndarray, dict]:
+                             mesh, relative: bool = False,
+                             norm: str = "l1") -> tuple[jnp.ndarray, dict]:
     """Arch "ae" loss with the grid's spatial axis sharded."""
     from deepfluids_tpu.parallel import halo
 
     pred = halo.curl_sharded(net_out, mesh) if use_curl else net_out
-    rec, aux = field_loss_spatial(pred, x, w1, w2, mesh)
+    rec, aux = field_loss_spatial(pred, x, w1, w2, mesh, relative, norm)
     loss_p = l2(z[:, :num_param], y[:, :num_param])
     aux.update({"loss_param": loss_p, "pred": pred})
     return rec + w3 * loss_p, aux

@@ -234,7 +234,8 @@ class Trainer:
                 if spatial:
                     out = jax.lax.with_sharding_constraint(out, spatial_sh)
                     loss, aux = losses.generator_loss_spatial(
-                        out, x, use_curl, c.w1, c.w2, self.mesh)
+                        out, x, use_curl, c.w1, c.w2, self.mesh,
+                        c.relative_loss, c.loss_norm)
                 else:
                     loss, aux = losses.generator_loss(
                         out, x, use_curl, c.w1, c.w2, fused, loss_mesh,
@@ -248,7 +249,7 @@ class Trainer:
                     out = jax.lax.with_sharding_constraint(out, spatial_sh)
                     loss, aux = losses.autoencoder_loss_spatial(
                         out, z, x, y, use_curl, num_param, c.w1, c.w2,
-                        c.w3, self.mesh)
+                        c.w3, self.mesh, c.relative_loss, c.loss_norm)
                 else:
                     loss, aux = losses.autoencoder_loss(
                         out, z, x, y, use_curl, num_param, c.w1, c.w2,
@@ -449,7 +450,9 @@ class Trainer:
                     log.error("watchdog: no device-call progress in %.0fs "
                               "— aborting for supervised resume (exit 17)",
                               timeout)
+                    self._wd_deadline = None   # fire once
                     self._wd_abort()
+                    return
 
         self._wd_thread = threading.Thread(target=watch, daemon=True,
                                            name="hang-watchdog")
@@ -491,7 +494,8 @@ class Trainer:
             self._wd_start(wd)
         first_call = True
 
-        with open(self._metrics_path, "a") as mf:
+        try:
+          with open(self._metrics_path, "a") as mf:
             while seen < num_steps:
                 if wd > 0:
                     # First chunk compiles the program (minutes through slow
@@ -547,6 +551,11 @@ class Trainer:
                     self.save_checkpoint()
                 self._wd_deadline = None
                 first_call = False
+        finally:
+            # An exception escaping the loop (debug_nans, KeyboardInterrupt,
+            # runtime error) must not leave the deadline armed — the daemon
+            # would exit(17) a still-responsive process mid-handling.
+            self._wd_deadline = None
         if profiling:
             jax.profiler.stop_trace()
         if self._tb is not None:
@@ -574,11 +583,24 @@ class Trainer:
         xs, ys = zip(*[self.bm.ds.get_normalized(int(i)) for i in idx])
         xs = np.stack(xs)
         out = {"num_samples": int(len(idx))}
+
+        def chunked(fn, arr):
+            # Fixed-size (padded) chunks: ONE compile shape no matter what
+            # num_samples is, and bounded device memory for 3D fields
+            # (compiles through the tunnel cost 30 s-2 min each; CLAUDE.md).
+            bs = max(1, self.c.test_batch_size)
+            pad = (-len(arr)) % bs
+            a = (np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
+                 if pad else arr)
+            o = np.concatenate([fn(a[i:i + bs])
+                                for i in range(0, len(a), bs)])
+            return o[:len(arr)]
+
         if self.c.arch == "de":
-            gen = self.generate(np.stack(ys))
+            gen = chunked(self.generate, np.stack(ys))
         else:  # ae: reconstruction quality + latent supervision error
-            gen = self.reconstruct(xs)
-            z = self.encode(xs)
+            gen = chunked(self.reconstruct, xs)
+            z = chunked(self.encode, xs)
             p = np.stack(ys)[:, :self.num_param]
             out["param_mse"] = float(
                 np.mean((z[:, :self.num_param] - p) ** 2))
@@ -598,9 +620,12 @@ class Trainer:
         compare to the AE-encoded ground truth."""
         n = self.codes.num_scenes
         idx = np.linspace(0, n - 1, min(num_samples, n)).astype(int)
+        # Scenes may have unequal lengths (CodeDataset supports that);
+        # evaluate over the shortest common trajectory.
+        t_min = min(self.codes.z[i].shape[0] for i in idx)
         z0 = np.stack([self.codes.z[i][0] for i in idx])     # [S, z]
-        z_true = np.stack([self.codes.z[i] for i in idx], 1)  # [T, S, z]
-        p_seq = np.stack([self.codes.p[i] for i in idx], 1)   # [T, S, P]
+        z_true = np.stack([self.codes.z[i][:t_min] for i in idx], 1)
+        p_seq = np.stack([self.codes.p[i][:t_min] for i in idx], 1)
         apply = lambda p, zf, dp: self.state.apply_fn({"params": p}, zf, dp)
         traj = np.asarray(self._jitted("rollout_eval", lambda pr, z, ps:
                                        rollout(apply, pr, z, ps,

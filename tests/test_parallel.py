@@ -275,3 +275,26 @@ class TestHalo3D:
         got = np.asarray(curl2d_sharded(psi, mesh))
         want = np.asarray(ops.curl2d(psi))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestSpatialLossKnobs:
+    def test_spatial_matches_replicated_relative_l2(self):
+        """The spatial loss path honors relative/loss_norm identically to
+        the replicated path (they were silently dropped before round 2's
+        review fix)."""
+        from deepfluids_tpu.train import losses
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(0)
+        psi = jnp.asarray(rng.normal(size=(4, 16, 12, 1)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 16, 12, 2)), jnp.float32)
+        for relative in (False, True):
+            for norm in ("l1", "l2"):
+                ref, _ = losses.generator_loss(
+                    psi, x, True, 1.0, 1.0, fused=False,
+                    relative=relative, norm=norm)
+                sp, _ = losses.generator_loss_spatial(
+                    psi, x, True, 1.0, 1.0, mesh,
+                    relative=relative, norm=norm)
+                np.testing.assert_allclose(float(sp), float(ref), rtol=1e-5,
+                                           err_msg=f"{relative=} {norm=}")

@@ -116,6 +116,50 @@ def bench_train2d():
             "detail": f"batch {B}, curl+jacobian loss, Adam"}
 
 
+def bench_train3d():
+    """Full-size 3D train step (config #5 geometry), synthetic batches,
+    fused-VJP curl3+jacobian3 loss, K=4 scan-fused steps per dispatch."""
+    from deepfluids_tpu.models import GeneratorBE
+    from deepfluids_tpu.train import generator_loss
+    from deepfluids_tpu.train.state import create_train_state, make_optimizer
+
+    B, K = 4, 4
+    model = GeneratorBE(output_shape=(32, 64, 112, 3), filters=128,
+                        num_conv=4, dtype=jnp.bfloat16)
+    tx = make_optimizer(1e-4, 1e-5, 1000)
+    state = create_train_state(jax.random.PRNGKey(0), model,
+                               (jnp.zeros((1, 3)),), tx)
+
+    def step(state, x, y):
+        def loss_fn(p):
+            out = state.apply_fn({"params": p}, y)
+            return generator_loss(out, x, True, 1.0, 1.0)[0]
+        l, g = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=g), l
+
+    def multi(state, xs, ys):
+        def body(st, xy):
+            st, l = step(st, *xy)
+            return st, l
+        return jax.lax.scan(body, state, (xs, ys))
+
+    jmulti = jax.jit(multi, donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(K, B, 32, 64, 112, 3)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(K, B, 3)), jnp.float32)
+    s, ls = jmulti(state, xs, ys)
+    float(jnp.sum(ls))
+    N = 5
+    t0 = time.perf_counter()
+    for _ in range(N):
+        s, ls = jmulti(s, xs, ys)
+        float(jnp.sum(ls))
+    dt = (time.perf_counter() - t0) / (N * K)
+    return {"metric": "3d_train_steps_per_sec", "value": round(1 / dt, 1),
+            "detail": f"112x64x32 batch {B}, curl3+jacobian3 fused-VJP "
+                      f"loss, steps_per_call={K} (synthetic batches)"}
+
+
 def bench_rollout():
     from deepfluids_tpu.models import LatentIntegrator
     from deepfluids_tpu.models.latent import rollout
@@ -209,6 +253,7 @@ BENCHES = {
     "infer2d": bench_infer2d,
     "infer3d": bench_infer3d,
     "train2d": bench_train2d,
+    "train3d": bench_train3d,
     "rollout": bench_rollout,
     "rollout_decode": bench_rollout_decode,
     "e2e_sweep2d": bench_e2e_sweep2d,
