@@ -47,7 +47,12 @@ def get_lib():
     with _lib_lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Always run make: a no-op when libnpz.so is newer than the
+        # source, but rebuilds after npz_loader.cc changes (a stale .so
+        # would otherwise be used silently forever).  The Makefile links
+        # to a temp name and mv's it into place, so a concurrent process
+        # never dlopens a half-written library.
+        if not _build() and not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
         try:
@@ -106,6 +111,8 @@ def load_npz_batch(paths: list[str], key: str, item_shape: tuple[int, ...],
     """
     n = len(paths)
     stride = int(np.prod(item_shape))
+    if n == 0:  # the C path returns early without filling shape/ndim
+        return np.empty((0,) + tuple(item_shape), np.float32)
     lib = get_lib()
     if lib is None:
         out = np.empty((n,) + tuple(item_shape), np.float32)

@@ -336,14 +336,30 @@ def _curl2d_bwd(g: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(out, 1, -1)
 
 
+def _check_min3(x, ndim_spatial: int, name: str) -> None:
+    """The transposed stencils (_fdt/_fdt_z) require every differenced
+    spatial extent >= 3: at n == 2 the last-row branch overwrites the
+    first-row contribution and the cotangent is silently wrong (the
+    forward kernels themselves are fine at n == 2).  Static shapes, so
+    this is a trace-time check."""
+    spatial = x.shape[1:1 + ndim_spatial]
+    if any(n < 3 for n in spatial):
+        raise ValueError(
+            f"{name}: spatial dims {spatial} must all be >= 3 (the "
+            f"transposed-stencil VJP is wrong at size 2; use the ops.fd "
+            f"oracle for degenerate grids)")
+
+
 @jax.custom_vjp
 def curl2d_p(psi: jnp.ndarray) -> jnp.ndarray:
     """Differentiable :func:`curl2d_fused` — drop-in for ops.fd.curl2d in
     jitted loss functions (4D input)."""
+    _check_min3(psi, 2, "curl2d_p")
     return curl2d_fused(psi)
 
 
 def _curl2d_p_fwd(psi):
+    _check_min3(psi, 2, "curl2d_p")
     return curl2d_fused(psi), None
 
 
@@ -390,10 +406,12 @@ def _jacobian2d_bwd(gj: jnp.ndarray, gw: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def jacobian2d_p(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable :func:`jacobian2d_fused` (4D input)."""
+    _check_min3(x, 2, "jacobian2d_p")
     return jacobian2d_fused(x)
 
 
 def _jacobian2d_p_fwd(x):
+    _check_min3(x, 2, "jacobian2d_p")
     return jacobian2d_fused(x), None
 
 
@@ -467,10 +485,12 @@ def _curl3d_bwd(g: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def curl3d_p(psi: jnp.ndarray) -> jnp.ndarray:
     """Differentiable :func:`curl3d_fused` (5D input)."""
+    _check_min3(psi, 3, "curl3d_p")
     return curl3d_fused(psi)
 
 
 def _curl3d_p_fwd(psi):
+    _check_min3(psi, 3, "curl3d_p")
     return curl3d_fused(psi), None
 
 
@@ -517,10 +537,12 @@ def _jacobian3d_bwd(gj: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def jacobian3d_p(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable :func:`jacobian3d_fused` (5D input)."""
+    _check_min3(x, 3, "jacobian3d_p")
     return jacobian3d_fused(x)
 
 
 def _jacobian3d_p_fwd(x):
+    _check_min3(x, 3, "jacobian3d_p")
     return jacobian3d_fused(x), None
 
 

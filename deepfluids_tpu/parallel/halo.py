@@ -39,23 +39,32 @@ def _fdiff_h_sharded(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     (axis size == number of shards)."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    fwd_perm = [(i, (i - 1) % n) for i in range(n)]
-    bwd_perm = [(i, (i + 1) % n) for i in range(n)]
-    nxt = jax.lax.ppermute(x_local[:, :1], axis_name, fwd_perm)
-    prv = jax.lax.ppermute(x_local[:, -1:], axis_name, bwd_perm)
-    ext = jnp.concatenate([prv, x_local, nxt], axis=1)  # [B, H_loc+2, ...]
-    fwd = ext[:, 2:] - ext[:, 1:-1]                     # x[j+1] - x[j]
-    bwd = ext[:, 1:-1] - ext[:, :-2]                    # x[j] - x[j-1]
     h_loc = x_local.shape[1]
+    fwd_perm = [(i, (i - 1) % n) for i in range(n)]
+    nxt = jax.lax.ppermute(x_local[:, :1], axis_name, fwd_perm)
+    if h_loc >= 2:
+        # The backward diff at the global last row only needs LOCAL rows
+        # when the shard holds >= 2 of them — skip the predecessor
+        # transfer entirely (one less ICI collective per stencil call).
+        ext = jnp.concatenate([x_local, nxt], axis=1)   # [B, H_loc+1, ...]
+        fwd = ext[:, 1:] - ext[:, :-1]                  # x[j+1] - x[j]
+        bwd = jnp.concatenate([fwd[:, :1],              # row 0 never "last"
+                               ext[:, 1:-1] - ext[:, :-2]], axis=1)
+    else:
+        bwd_perm = [(i, (i + 1) % n) for i in range(n)]
+        prv = jax.lax.ppermute(x_local[:, -1:], axis_name, bwd_perm)
+        ext = jnp.concatenate([prv, x_local, nxt], axis=1)
+        fwd = ext[:, 2:] - ext[:, 1:-1]                 # x[j+1] - x[j]
+        bwd = ext[:, 1:-1] - ext[:, :-2]                # x[j] - x[j-1]
     row = jax.lax.broadcasted_iota(jnp.int32, fwd.shape, 1)
     is_global_last = (idx == n - 1) & (row == h_loc - 1)
     return jnp.where(is_global_last, bwd, fwd)
 
 
 def _fdiff_w(x_local: jnp.ndarray) -> jnp.ndarray:
-    """Forward diff along (unsharded) W with edge replication."""
-    d = x_local[:, :, 1:] - x_local[:, :, :-1]
-    return jnp.concatenate([d, d[:, :, -1:]], axis=2)
+    """Forward diff along (unsharded) W with edge replication — the
+    oracle scheme, axis 2 (see ops.fd._fdiff)."""
+    return _fdiff_local(x_local, 2)
 
 
 _SPEC = P(None, DATA_AXIS)

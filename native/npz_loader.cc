@@ -76,6 +76,11 @@ static bool extract_member(const Buf& zip, const std::string& member,
     uint16_t extra_len = rd16(d + p + 30);
     uint16_t comment_len = rd16(d + p + 32);
     uint32_t lho = rd32(d + p + 42);
+    // Full entry (name + extra + comment) must lie inside the buffer
+    // before the name is read — truncated/crafted central directories
+    // otherwise cause a heap over-read here.
+    if (p + 46 + static_cast<size_t>(name_len) + extra_len + comment_len > n)
+      return false;
     std::string name(reinterpret_cast<const char*>(d + p + 46), name_len);
     p += 46 + name_len + extra_len + comment_len;
     if (name != member) continue;
@@ -151,8 +156,8 @@ static bool parse_npy(const std::vector<unsigned char>& npy, int* dtype_code,
   while (*s) {
     while (*s == ' ' || *s == ',') ++s;
     if (!*s) break;
+    if (*ndim >= 8) return false;  // bounds-check BEFORE the write
     shape[(*ndim)++] = std::strtoll(s, const_cast<char**>(&s), 10);
-    if (*ndim > 8) return false;
   }
   return true;
 }

@@ -79,3 +79,31 @@ class TestNativeLoader:
         np.savez_compressed(p2, x=np.zeros((2, 2), np.float32))
         with pytest.raises(Exception):
             native_npz.load_npz_batch([p1, p2], "x", (4, 4))
+
+
+class TestRobustness:
+    def test_empty_batch_returns_empty(self):
+        out = native_npz.load_npz_batch([], "x", (4, 4))
+        assert out.shape == (0, 4, 4) and out.dtype == np.float32
+
+    def test_nine_dim_array_falls_back(self, tmp_path):
+        """>8-dim members are rejected by the C parser BEFORE writing past
+        its 8-slot shape buffer; the numpy fallback returns the data."""
+        x = np.arange(3, dtype=np.float32).reshape((1,) * 8 + (3,))
+        p = str(tmp_path / "deep.npz")
+        np.savez(p, x=x)
+        out = native_npz.load_npz_field(p, "x")
+        np.testing.assert_array_equal(out, x)
+
+    def test_truncated_zip_falls_back_or_raises_cleanly(self, tmp_path):
+        """A truncated central directory must not crash the process."""
+        x = np.arange(64, dtype=np.float32)
+        p = str(tmp_path / "trunc.npz")
+        np.savez(p, x=x)
+        raw = open(p, "rb").read()
+        pt = str(tmp_path / "cut.npz")
+        open(pt, "wb").write(raw[:-7])  # clip the tail of the EOCD/CD
+        try:
+            native_npz.load_npz_field(pt, "x")
+        except Exception:
+            pass  # clean Python-level failure is fine; a segfault is not
