@@ -22,7 +22,13 @@ from typing import Optional
 def _str2bool(v: str) -> bool:
     if isinstance(v, bool):
         return v
-    return v.lower() in ("yes", "true", "t", "1")
+    low = v.lower()
+    if low in ("yes", "true", "t", "1"):
+        return True
+    if low in ("no", "false", "f", "0"):
+        return False
+    # A typo like --is_train=Ture must fail loudly, not silently mean False.
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
 @dataclasses.dataclass

@@ -77,6 +77,16 @@ def render_density_sweep(
     Returns:
       densities [S, T, H, W] (numpy, host).
     """
+    if len(manifest.resolution) != 2:
+        raise ValueError(
+            "render_density_sweep is 2D-only (advect_density itself "
+            f"handles 3D); got resolution {manifest.resolution}")
+    if manifest.num_param - 1 != 2:
+        raise ValueError(
+            "render_density_sweep interprets the two non-frame params as "
+            "(source x-position, source radius) for its source mask; got "
+            f"{manifest.num_param - 1} non-frame params "
+            f"({manifest.param_names[:-1]})")
     s = scene_params.shape[0]
     frames = np.arange(num_frames, dtype=np.float32)
     # [S, T, P] raw params

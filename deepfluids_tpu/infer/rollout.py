@@ -72,7 +72,13 @@ def encode_dataset(
                 ps.append(d["y"].astype(np.float32))
         zs = []
         for i in range(0, len(xs), batch_size):
-            zs.append(encode_fn(np.stack(xs[i:i + batch_size])))
+            chunk = np.stack(xs[i:i + batch_size])
+            pad = batch_size - chunk.shape[0]
+            if pad:  # pad the trailing batch: ONE compiled shape per run
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, 0)])
+            z = encode_fn(chunk)
+            zs.append(z[:z.shape[0] - pad] if pad else z)
         np.savez_compressed(
             os.path.join(out_dir, f"{scene}.npz"),
             z=np.concatenate(zs).astype(np.float32),
@@ -92,7 +98,9 @@ def rollout_trajectory(
     """Advance z0 through a parameter trajectory and decode every step.
 
     Args:
-      integrator_apply: ``(params, z_free, dp) -> dz_free`` (batched).
+      integrator_apply: ``(params, z_full, dp) -> dz_free`` (batched) —
+        z_full is the FULL latent (pinned param block + free block, see
+        models.latent.rollout); only the free block's update is returned.
       decode_fn: ``z [B, z_num] -> field [B, *res, C]`` (normalized units,
         curl applied).
       z0: [B, z_num] start codes (front dims = normalized params at t=0).

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepfluids_tpu.data.manifest import Manifest
-from deepfluids_tpu.train import losses
 from deepfluids_tpu.utils import save_field_image, save_gif
 
 
@@ -54,11 +53,12 @@ def param_grid(manifest: Manifest, counts: Sequence[int],
 
 
 def sweep_generator(
-    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    apply_fn: Callable[..., jnp.ndarray],
     manifest: Manifest,
     raw_params: np.ndarray,
     batch_size: int = 32,
     denormalize: bool = True,
+    params=None,
 ) -> Iterator[np.ndarray]:
     """Yield generated fields for a raw-parameter list, in jitted batches.
 
@@ -66,6 +66,11 @@ def sweep_generator(
       apply_fn: jittable ``p_norm [B, P] -> field [B, *res, C]`` (curl
         already applied; normalized units).  The last partial batch is padded
         to ``batch_size`` so ONE compiled program serves the whole sweep.
+      params: optional weight pytree; when given, ``apply_fn(params,
+        p_norm)`` is called with the weights as an EXPLICIT jit argument.
+        Closing over a big device pytree instead bakes it into the
+        compiled program as constants (CLAUDE.md: 2 GB lowerings through
+        the tunnel) — always pass weights here.
     """
     fn = jax.jit(apply_fn)
     n = raw_params.shape[0]
@@ -75,7 +80,8 @@ def sweep_generator(
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        out = np.asarray(fn(jnp.asarray(chunk)))
+        out = np.asarray(fn(jnp.asarray(chunk)) if params is None
+                         else fn(params, jnp.asarray(chunk)))
         if pad:
             out = out[:-pad]
         if denormalize:
@@ -84,11 +90,12 @@ def sweep_generator(
 
 
 def sweep_on_device(
-    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    apply_fn: Callable[..., jnp.ndarray],
     manifest: Manifest,
     raw_params: np.ndarray,
     batch_size: int = 512,
     max_out_bytes: int = 1 << 30,
+    params=None,
 ) -> np.ndarray:
     """Whole parameter sweep as few scanned device programs.
 
@@ -117,9 +124,9 @@ def sweep_on_device(
                           p_norm.shape[-1])
 
     @jax.jit
-    def sweep(chunks):
+    def sweep(prm, chunks):
         def step(_, p):
-            return None, apply_fn(p)
+            return None, (apply_fn(p) if params is None else apply_fn(prm, p))
         _, out = jax.lax.scan(step, None, chunks)
         return out
 
@@ -129,7 +136,7 @@ def sweep_on_device(
     rows_per_fetch = int(max_out_bytes // (field_bytes * batch_size))
     parts = []
     for seg in segs:
-        dev = sweep(jnp.asarray(seg))          # [chunks, batch, *res, C]
+        dev = sweep(params, jnp.asarray(seg))          # [chunks, batch, *res, C]
         if rows_per_fetch >= 1:
             for i in range(0, dev.shape[0], rows_per_fetch):
                 parts.append(np.asarray(dev[i:i + rows_per_fetch]).reshape(
@@ -146,7 +153,7 @@ def sweep_on_device(
 
 
 def run_test_sweep(
-    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    apply_fn: Callable[..., jnp.ndarray],
     manifest: Manifest,
     out_dir: str,
     counts: Sequence[int] | None = None,
@@ -155,6 +162,7 @@ def run_test_sweep(
     save_npz: bool = True,
     save_png_every: int = 0,
     gif_scenes: int = 1,
+    params=None,
 ) -> dict:
     """Full parameter-grid sweep writing .npz fields (+ optional PNG/GIFs).
 
@@ -175,7 +183,8 @@ def run_test_sweep(
 
     gif_frames: list[np.ndarray] = []
     idx = 0
-    for batch in sweep_generator(apply_fn, manifest, raw, batch_size):
+    for batch in sweep_generator(apply_fn, manifest, raw, batch_size,
+                                 params=params):
         for f in batch:
             scene, frame = divmod(idx, t)
             if save_npz:

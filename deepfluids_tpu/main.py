@@ -42,19 +42,26 @@ def main(config: Config) -> dict:
         log.info("training done: %s", result)
         return result
     # --- test / inference (SURVEY §3.2 / §3.4) ---
-    if config.load_path:
-        step = trainer.restore_checkpoint()
-        log.info("restored checkpoint step %d from %s", step,
-                 trainer.ckpt_dir)
+    if not config.load_path:
+        # Without a checkpoint the sweep would silently write plausible-
+        # looking garbage from randomly initialized weights (for arch nn
+        # the zero-init head even yields a frozen identity rollout).
+        raise SystemExit("--is_train=false needs --load_path "
+                         "(a trained run directory)")
+    step = trainer.restore_checkpoint()
+    log.info("restored checkpoint step %d from %s", step,
+             trainer.ckpt_dir)
     out_dir = os.path.join(trainer.run_dir, "test")
     if config.arch == "de":
         from deepfluids_tpu.infer import run_test_sweep
 
-        def apply_fn(p_norm):
+        def apply_fn(params, p_norm):
+            # Weights come in as an explicit jit argument — closing over
+            # trainer.state.params would bake them into the compiled
+            # program as constants (CLAUDE.md).
             from deepfluids_tpu.train import losses
 
-            out = trainer.state.apply_fn(
-                {"params": trainer.state.params}, p_norm)
+            out = trainer.state.apply_fn({"params": params}, p_norm)
             return losses.apply_curl(out) if trainer.curl_active else out
 
         # Sweep grid: --test_counts, else the dataset's own generation grid
@@ -68,7 +75,8 @@ def main(config: Config) -> dict:
         result = run_test_sweep(
             apply_fn, trainer.manifest, out_dir, counts=counts,
             num_frames=config.test_frames or None,
-            batch_size=config.test_batch_size, save_png_every=20)
+            batch_size=config.test_batch_size, save_png_every=20,
+            params=trainer.state.params)
         # Quality metrics ride along with every sweep (repeatable eval,
         # not a notebook fact): generated-vs-dataset L2/rmse.
         result["eval"] = trainer.evaluate(num_samples=128)

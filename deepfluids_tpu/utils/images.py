@@ -39,6 +39,36 @@ def _colorize_magnitude(x: np.ndarray, vmax: float | None = None) -> np.ndarray:
     return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
 
 
+def _render_scalar(field: np.ndarray, mode: str,
+                   projection: str) -> tuple[np.ndarray, bool]:
+    """The 2D scalar a field renders as, pre-colorization.
+
+    Returns (scalar [H, W], diverging?) — diverging scalars colorize
+    blue-white-red by |max|, magnitudes black-body by max.  Shared by
+    :func:`field_to_image` and :func:`save_gif`'s global-scale pass so
+    ``vmax`` always lives in the RENDERED quantity's units.
+    """
+    field = np.asarray(field, np.float32)
+    if field.ndim == 4:  # 3D volume -> 2D plane
+        if projection == "max":
+            if mode == "vorticity" and field.shape[-1] == 3:
+                # |vorticity| per voxel, max over depth; signed look kept
+                # by projecting the in-plane component with largest |w|.
+                vort = np.asarray(fd.vorticity3d(field[None])[0])
+                wmag = np.linalg.norm(vort, axis=-1)     # [D, H, W]
+                d_idx = wmag.argmax(axis=0)              # [H, W]
+                hh, ww = np.indices(d_idx.shape)
+                return vort[..., 2][d_idx, hh, ww], True
+            return np.linalg.norm(field, axis=-1).max(axis=0), False
+        field = field[field.shape[0] // 2]  # mid-depth slice
+    if mode == "vorticity" and field.shape[-1] >= 2:
+        return (np.asarray(fd.vorticity2d(field[..., :2][None])[0, ..., 0]),
+                True)
+    if mode == "magnitude":
+        return np.linalg.norm(field, axis=-1), False
+    return field[..., 0], True  # levelset / generic scalar
+
+
 def field_to_image(field: np.ndarray, mode: str = "vorticity",
                    vmax: float | None = None,
                    projection: str = "slice") -> np.ndarray:
@@ -52,29 +82,9 @@ def field_to_image(field: np.ndarray, mode: str = "vorticity",
         projection of |vorticity| / magnitude along depth — the qualitative
         3D render surface the reference's paper figures used).
     """
-    field = np.asarray(field, np.float32)
-    if field.ndim == 4:  # 3D volume -> 2D plane
-        if projection == "max":
-            if mode == "vorticity" and field.shape[-1] == 3:
-                # |vorticity| per voxel, max over depth; signed look kept
-                # by projecting the in-plane component with largest |w|.
-                vort = np.asarray(fd.vorticity3d(field[None])[0])
-                wmag = np.linalg.norm(vort, axis=-1)     # [D, H, W]
-                d_idx = wmag.argmax(axis=0)              # [H, W]
-                hh, ww = np.indices(d_idx.shape)
-                wz = vort[..., 2][d_idx, hh, ww]         # in-plane curl comp
-                return _colorize_diverging(wz, vmax)[::-1]
-            m = np.linalg.norm(field, axis=-1).max(axis=0)
-            return _colorize_magnitude(m, vmax)[::-1]
-        field = field[field.shape[0] // 2]  # mid-depth slice
-    if mode == "vorticity" and field.shape[-1] >= 2:
-        w = np.asarray(fd.vorticity2d(field[..., :2][None])[0, ..., 0])
-        img = _colorize_diverging(w, vmax)
-    elif mode == "magnitude":
-        m = np.linalg.norm(field, axis=-1)
-        img = _colorize_magnitude(m, vmax)
-    else:  # levelset / generic scalar
-        img = _colorize_diverging(field[..., 0], vmax)
+    scalar, diverging = _render_scalar(field, mode, projection)
+    img = (_colorize_diverging(scalar, vmax) if diverging
+           else _colorize_magnitude(scalar, vmax))
     return img[::-1]  # flip y so the plume rises upward in the PNG
 
 
@@ -111,9 +121,17 @@ def save_image_grid(path: str, fields: Sequence[np.ndarray], ncol: int = 0,
 def save_gif(path: str, fields: Sequence[np.ndarray], mode: str = "vorticity",
              vmax: float | None = None, fps: int = 24,
              projection: str = "slice") -> str:
-    """Assemble a field sequence into a GIF (reference test-time sweeps)."""
+    """Assemble a field sequence into a GIF (reference test-time sweeps).
+
+    ``vmax=None`` computes ONE shared scale over the whole sequence —
+    per-frame auto-normalization would recenter the colors every frame
+    (a decaying plume renders at constant full saturation and the
+    temporal evolution the GIF exists to show is erased)."""
     import imageio
 
+    if vmax is None:
+        vmax = max((float(np.abs(_render_scalar(f, mode, projection)[0])
+                          .max()) for f in fields), default=0.0) or None
     frames = [field_to_image(f, mode, vmax, projection) for f in fields]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     imageio.mimsave(path, frames, duration=1.0 / fps, loop=0)

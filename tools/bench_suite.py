@@ -236,13 +236,14 @@ def bench_e2e_sweep2d():
                         dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))["params"]
 
-    def apply_fn(p):
-        return curl2d(model.apply({"params": params}, p))
+    def apply_fn(prm, p):
+        return curl2d(model.apply({"params": prm}, p))
 
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
         res = run_test_sweep(apply_fn, m, td, counts=(21, 5),
-                             batch_size=128, save_png_every=20)
+                             batch_size=128, save_png_every=20,
+                             params=params)
         dt = time.perf_counter() - t0
     return {"metric": "e2e_sweep_fields_per_sec",
             "value": round(res["num_fields"] / dt, 1),
