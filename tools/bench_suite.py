@@ -5,8 +5,10 @@ Usage: python tools/bench_suite.py <name>
   infer2d    scanned-sweep generator inference, 128x96 (the bench.py metric)
   infer3d    3D generator inference, 112x64x32 vector potential + curl3
   train2d    full-size 2D train step (curl + jacobian loss), batch 8
+  train3d    full-size 3D train step (config #5 geometry), batch 4
   rollout    latent integrator lax.scan rollout, z_num=16, batch 100
   rollout_decode  rollout + per-step field decode (the ae+nn test workload)
+  e2e_sweep2d  full 21x5x200 sweep INCLUDING npz/png/gif artifact writes
 
 Appends one JSON line per run to BENCHMARKS.jsonl at the repo root.
 All timings force a per-call host fetch (see bench.py `_measure`).
@@ -27,12 +29,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def timeit(f, *args, iters=5, warmup=2):
-    for _ in range(warmup):
-        float(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(f(*args))
-    return (time.perf_counter() - t0) / iters
+    """Wall time per call with forced host fetches — delegates to
+    bench._measure so the tunnel timing discipline lives in ONE place."""
+    from bench import _measure
+
+    return _measure(f, args, iters, warmup)
 
 
 def bench_infer2d():
@@ -180,7 +181,7 @@ def bench_rollout():
 
     dt = timeit(jfn, params, z0, p_seq)
     return {"metric": "rollout_steps_per_sec",
-            "value": round(T * B / dt, 1),
+            "value": round((T - 1) * B / dt, 1),
             "detail": f"T={T} scan x batch {B}, z_num={Z}, MLP 512x2"}
 
 
@@ -213,7 +214,7 @@ def bench_rollout_decode():
 
     dt = timeit(jfn, params, dparams, z0, p_seq, iters=3)
     return {"metric": "rollout_decode_steps_per_sec",
-            "value": round(T * B / dt, 1),
+            "value": round((T - 1) * B / dt, 1),
             "detail": f"T={T} x batch {B}: integrate + decode 128x96 + curl"}
 
 
@@ -239,6 +240,13 @@ def bench_e2e_sweep2d():
     def apply_fn(prm, p):
         return curl2d(model.apply({"params": prm}, p))
 
+    from deepfluids_tpu.infer import sweep_generator
+
+    # Warm the jit outside the timed region (compiles through the tunnel
+    # are 30s-2min; every sibling bench excludes them via warmup).
+    next(sweep_generator(apply_fn, m,
+                         np.zeros((128, 3), np.float32), 128,
+                         params=params))
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
         res = run_test_sweep(apply_fn, m, td, counts=(21, 5),
@@ -262,6 +270,10 @@ BENCHES = {
 
 
 def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in BENCHES:
+        print(f"usage: bench_suite.py {{{','.join(sorted(BENCHES))}}}",
+              file=sys.stderr)
+        raise SystemExit(2)
     name = sys.argv[1]
     rec = BENCHES[name]()
     rec["backend"] = jax.default_backend()

@@ -19,6 +19,10 @@ sys.path.insert(0, ROOT)
 
 
 def main():
+    if len(sys.argv) < 2:
+        print("usage: eval_run.py <run_dir> [num_samples] [note]",
+              file=sys.stderr)
+        raise SystemExit(2)
     run_dir = sys.argv[1]
     num_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     note = sys.argv[3] if len(sys.argv) > 3 else ""

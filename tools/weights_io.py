@@ -79,6 +79,14 @@ def import_npz(path: str, params_template: Any,
             # dropped silently (mirrors by_shape's leftover check).
             raise KeyError(f"npz has {len(extra)} keys with no matching "
                            f"param, e.g. {extra[:3]}")
+        bad = [(k, theirs[k].shape, ours[k].shape) for k in ours
+               if tuple(theirs[k].shape) != tuple(ours[k].shape)]
+        if bad:
+            k, got, want = bad[0]
+            raise ValueError(
+                f"{len(bad)} shape mismatches, e.g. {k}: npz has {got}, "
+                f"model wants {want} (a transposed dense kernel would "
+                f"import silently without this check)")
         flat = {k: theirs[k].astype(ours[k].dtype) for k in ours}
         return unflatten_params(flat)
 
@@ -90,6 +98,17 @@ def import_npz(path: str, params_template: Any,
     by_shape: dict[tuple, list[str]] = defaultdict(list)
     for k, v in theirs.items():
         by_shape[tuple(v.shape)].append(k)
+    # Report ambiguity up front: same-shape groups with >1 member are
+    # matched by insertion order, which is only correct if both sides
+    # enumerate in the same order — the caller must confirm.
+    ambiguous = {shp: ks for shp, ks in by_shape.items() if len(ks) > 1}
+    if ambiguous:
+        ex_shp = next(iter(ambiguous))
+        print(f"weights_io: by_shape matching {len(ambiguous)} ambiguous "
+              f"shape groups by insertion order (e.g. {ex_shp}: "
+              f"{len(ambiguous[ex_shp])} tensors {ambiguous[ex_shp][:3]}...) "
+              f"— verify source enumeration order matches the model's",
+              file=sys.stderr)
     flat = {}
     for k, v in ours.items():
         pool = by_shape.get(tuple(v.shape))
