@@ -112,19 +112,73 @@ def model_sharded_state(state, mesh: Mesh):
     return _jax.tree.map(rule, state)
 
 
-def init_distributed() -> bool:
-    """Initialize multi-host JAX when launched under a pod scheduler.
+def shard_batch_multihost(mesh: Mesh, *arrays):
+    """Multi-host :func:`shard_batch`: place a GLOBALLY-IDENTICAL host batch
+    onto a mesh spanning several processes.
 
-    SURVEY.md §5 "Distributed comm backend": `jax.distributed.initialize`
-    wires hosts together so `jax.devices()` spans the slice and the mesh
-    helpers above shard over every chip; collectives ride ICI within a
-    slice and DCN across slices.  No-ops (returns False) in single-process
-    runs — safe to call unconditionally from main().
+    Every host computes the same global batch (the batch stream is a pure
+    function of (seed, step) on all hosts — data.dataset.step_rng), hands
+    its local row-slice to ``jax.make_array_from_process_local_data``, and
+    gets back a global jax.Array sharded over the data axis.  Works in
+    single-process runs too (degenerates to the plain placement).
+    """
+    sh = batch_sharding(mesh)
+    out = []
+    for a in arrays:
+        if a.shape[0] % mesh.shape[DATA_AXIS] != 0:
+            raise ValueError(
+                f"batch dim {a.shape[0]} not divisible by data-axis size "
+                f"{mesh.shape[DATA_AXIS]}")
+        out.append(jax.make_array_from_process_local_data(
+            sh, _local_rows(sh, np.asarray(a)), a.shape))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def _local_rows(sharding: NamedSharding, a: np.ndarray) -> np.ndarray:
+    """This process's contiguous row-slice of a global batch array.
+
+    ``jax.devices()`` orders devices by process, so under P("data") each
+    process owns a contiguous block of rows; gather exactly those (in
+    device order) from the replicated host copy."""
+    idx_map = sharding.addressable_devices_indices_map(a.shape)
+    rows = [a[idx] for _, idx in sorted(
+        idx_map.items(), key=lambda kv: kv[0].id)]
+    return np.concatenate(rows) if rows else a[:0]
+
+
+def init_distributed() -> bool:
+    """Initialize multi-host JAX (SURVEY.md §5 "Distributed comm backend").
+
+    `jax.distributed.initialize` wires hosts together so `jax.devices()`
+    spans every process and the mesh helpers above shard over all chips;
+    collectives ride ICI within a slice and DCN across slices (gloo on the
+    CPU backend — exercised by tests/test_multihost.py and
+    tools/launch_multihost.py).
+
+    Configuration comes from the environment: ``JAX_COORDINATOR_ADDRESS``
+    (+ ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` for manual launches like
+    tools/launch_multihost.py; pod schedulers that set only the coordinator
+    address use jax's own cluster autodetection).  No-ops (returns False)
+    in single-process runs — safe to call unconditionally from main().
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "MEGASCALE_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    # Cross-process collectives on the CPU backend need gloo (no-op for
+    # TPU, where XLA owns the ICI/DCN collectives).
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # option absent/renamed: TPU path works regardless
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    else:
         jax.distributed.initialize()
-        return True
-    return False
+    return True
