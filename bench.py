@@ -24,7 +24,10 @@ BATCH = 512    # chunk width of the device-side scanned sweep
 CHUNKS = 16    # scan length: one RPC covers CHUNKS*BATCH fields
 WARMUP = 2
 ITERS = 5
-CPU_ITERS = 8
+CPU_ITERS = 8      # batch-1 forwards per CPU measurement window
+CPU_WINDOWS = 5    # windows; the MEDIAN window rate is the baseline (the
+                   # r01->r02 vs_baseline swing was a single contended CPU
+                   # window, not a device change — see VERDICT r2 weak #1)
 
 
 def _measure(fn, args, iters, warmup):
@@ -68,8 +71,12 @@ def run_device_bench() -> float:
     return CHUNKS * BATCH / dt
 
 
-def run_cpu_baseline() -> float:
-    """Batch-1 CPU fields/sec (TF1-CPU reference proxy) in a subprocess."""
+def run_cpu_baseline() -> list[float]:
+    """Batch-1 CPU fields/sec (TF1-CPU reference proxy) in a subprocess.
+
+    Returns CPU_WINDOWS per-window rates from one subprocess (compile paid
+    once); callers take the median, which is robust to another process
+    time-sharing the machine during individual windows."""
     code = (
         # The axon plugin ignores the JAX_PLATFORMS env var; the config
         # update is what actually selects the CPU backend.
@@ -80,9 +87,12 @@ def run_cpu_baseline() -> float:
         "jfn=jax.jit(lambda pa,p: jnp.sum(fn(pa,p)));"
         "p=jnp.zeros((1,3));"
         "[float(jfn(params,p)) for _ in range(2)];"
-        f"n={CPU_ITERS};t0=time.perf_counter();"
-        "[float(jfn(params,p)) for _ in range(n)];"
-        "print('CPURATE', n/(time.perf_counter()-t0))"
+        f"n={CPU_ITERS};rates=[]\n"
+        f"for _ in range({CPU_WINDOWS}):\n"
+        "    t0=time.perf_counter()\n"
+        "    [float(jfn(params,p)) for _ in range(n)]\n"
+        "    rates.append(n/(time.perf_counter()-t0))\n"
+        "print('CPURATES', json.dumps(rates))"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
@@ -92,23 +102,32 @@ def run_cpu_baseline() -> float:
         timeout=900,
     )
     for line in out.stdout.splitlines():
-        if line.startswith("CPURATE"):
-            return float(line.split()[1])
+        if line.startswith("CPURATES"):
+            return json.loads(line.split(None, 1)[1])
     raise RuntimeError(f"cpu baseline failed: {out.stderr[-800:]}")
 
 
 def main():
     fields_per_sec = run_device_bench()
     try:
-        cpu_rate = run_cpu_baseline()
+        cpu_rates = sorted(run_cpu_baseline())
+        cpu_rate = float(np.median(cpu_rates))
         vs = fields_per_sec / cpu_rate
     except Exception:
-        vs = float("nan")
+        cpu_rates, cpu_rate, vs = [], None, float("nan")
+    try:
+        load1 = round(os.getloadavg()[0], 1)  # contention context for the
+    except OSError:                           # CPU-proxy number
+        load1 = None
     print(json.dumps({
         "metric": "2d_velocity_fields_per_sec_per_chip",
         "value": round(fields_per_sec, 1),
         "unit": "fields/s (128x96, scanned sweep 16x512, curl applied)",
         "vs_baseline": round(vs, 1) if vs == vs else None,
+        "device_rate": round(fields_per_sec, 1),
+        "cpu_rate_median": round(cpu_rate, 2) if cpu_rate else None,
+        "cpu_rates": [round(r, 2) for r in cpu_rates],
+        "loadavg_1m": load1,
     }))
 
 

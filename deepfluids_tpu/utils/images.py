@@ -39,6 +39,22 @@ def _colorize_magnitude(x: np.ndarray, vmax: float | None = None) -> np.ndarray:
     return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
 
 
+def _np_fdiff(x: np.ndarray, axis: int) -> np.ndarray:
+    """numpy twin of ops.fd._fdiff (forward diff, last-derivative edge
+    replication) — bit-identical values with zero device dispatches, so
+    threaded artifact writers never serialize on the runtime RPC channel."""
+    d = np.diff(x, axis=axis)
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(-1, None)
+    return np.concatenate([d, d[tuple(idx)]], axis=axis)
+
+
+def _np_vorticity2d(field: np.ndarray) -> np.ndarray:
+    """dvdx - dudy of [H, W, 2] (matches ops.fd.vorticity2d exactly)."""
+    return (_np_fdiff(field[..., 1], axis=-1)
+            - _np_fdiff(field[..., 0], axis=-2))
+
+
 def _render_scalar(field: np.ndarray, mode: str,
                    projection: str) -> tuple[np.ndarray, bool]:
     """The 2D scalar a field renders as, pre-colorization.
@@ -62,8 +78,7 @@ def _render_scalar(field: np.ndarray, mode: str,
             return np.linalg.norm(field, axis=-1).max(axis=0), False
         field = field[field.shape[0] // 2]  # mid-depth slice
     if mode == "vorticity" and field.shape[-1] >= 2:
-        return (np.asarray(fd.vorticity2d(field[..., :2][None])[0, ..., 0]),
-                True)
+        return _np_vorticity2d(field[..., :2]), True
     if mode == "magnitude":
         return np.linalg.norm(field, axis=-1), False
     return field[..., 0], True  # levelset / generic scalar
