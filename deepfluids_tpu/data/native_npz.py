@@ -52,9 +52,18 @@ def get_lib():
         # would otherwise be used silently forever).  The Makefile links
         # to a temp name and mv's it into place, so a concurrent process
         # never dlopens a half-written library.
-        if not _build() and not os.path.exists(_LIB_PATH):
-            _build_failed = True
-            return None
+        if not _build():
+            if not os.path.exists(_LIB_PATH):
+                _build_failed = True
+                return None
+            # A prebuilt library exists but the rebuild failed (toolchain
+            # absent?).  It may be stale relative to npz_loader.cc — say
+            # so instead of silently dlopening it.
+            import warnings
+
+            warnings.warn(
+                f"make -C {_NATIVE_DIR} failed; using possibly-stale "
+                f"prebuilt {_LIB_PATH}", RuntimeWarning, stacklevel=2)
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.df_npz_read.restype = ctypes.c_int

@@ -47,6 +47,16 @@ def _maybe_shard_batch(op, mesh, n_out: int = 1):
                      check_vma=False)
 
 
+def _dist(norm: str):
+    """Per-element distance for the field/jacobian terms; unknown values
+    raise (a typo like "L1" must not silently train with squared error)."""
+    if norm == "l1":
+        return jnp.abs
+    if norm == "l2":
+        return jnp.square
+    raise ValueError(f"loss_norm must be 'l1' or 'l2', got {norm!r}")
+
+
 def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(a - b))
 
@@ -123,7 +133,7 @@ def field_loss(pred: jnp.ndarray, target: jnp.ndarray,
     the per-element distance: "l1" (reference, SURVEY §3.1) or "l2"
     (squared error; smooth gradients refine small residuals faster under
     Adam than L1's constant-magnitude sign gradient)."""
-    dist = jnp.abs if norm == "l1" else jnp.square
+    dist = _dist(norm)
     ef = dist(pred - target)
     ej = dist(jacobian_of(pred, fused, mesh) - jacobian_of(target, fused,
                                                            mesh))
@@ -215,7 +225,7 @@ def field_loss_spatial(pred: jnp.ndarray, target: jnp.ndarray,
     ``relative``/``norm`` mirror :func:`field_loss` exactly — the reduction
     runs under GSPMD (outside the halo shard_maps), so per-sample weights
     and squared distances partition the same way the plain means do."""
-    dist = jnp.abs if norm == "l1" else jnp.square
+    dist = _dist(norm)
     ef = dist(pred - target)
     ej = dist(jacobian_of_spatial(pred, mesh) -
               jacobian_of_spatial(target, mesh))
