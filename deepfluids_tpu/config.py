@@ -55,12 +55,28 @@ class Config:
                                # filter (channel-diagonal FNO core) after
                                # each generator stage; 0 = reference-parity
                                # (arch de only)
+    decoder: str = "be"        # generator decoder family (arch de):
+                               # "be" = reference BEGAN-style conv pyramid;
+                               # "grid" = beyond-reference multi-resolution
+                               # feature-grid decoder (param-space feature
+                               # grids + per-stage low-rank spatial basis
+                               # injection) — targets the ~0.215 overfit
+                               # floor the BE family plateaus at
+                               # (BENCHMARKS.md "quality plateau, diagnosed")
+    grid_levels: int = 4       # decoder=grid: multi-res param-grid levels
+    grid_features: int = 4     # decoder=grid: features per grid cell
+    grid_rank: int = 8         # decoder=grid: spatial basis rank per stage
     # nn (latent integrator)
     nn_hidden: int = 512
     nn_depth: int = 2
     w_num: int = 30            # rollout window length [B]
     remat_rollout: bool = False  # jax.checkpoint each rollout step (O(1)
                                  # activation memory for long windows)
+    nn_noise: float = 0.0      # rollout-training noise std injected into
+                               # the integrated latent block each window
+                               # step — trains the integrator to contract
+                               # its own prediction errors (long-horizon
+                               # drift stabilizer; 0 = reference parity)
 
     # --- data ---
     data_dir: str = "data"
@@ -69,6 +85,14 @@ class Config:
     batch_size: int = 8
     num_worker: int = 8
     cache_data: bool = True
+    input_pipeline: str = "native"  # "native" (BatchManager + C++ npz
+                                    # reader; default) | "grain" (grain
+                                    # DataLoader: worker-process prefetch +
+                                    # per-host sharding for multi-host runs)
+    eval_holdout_scenes: int = 0    # >0: exclude the LAST N scenes from
+                                    # training; Trainer.evaluate() samples
+                                    # ONLY those scenes (a real held-out
+                                    # quality number; de/ae archs)
 
     # --- dims (0 -> read from manifest) ---
     is_3d: bool = False
@@ -125,11 +149,18 @@ class Config:
     watchdog_secs: float = 0.0        # >0: abort (exit 17) if a train-loop
                                       # device call completes no progress
                                       # for this long — lost-RPC/hang
-                                      # detection; pair with a supervisor
-                                      # loop that relaunches with
-                                      # --load_path (resume is exact).
+                                      # detection; pair with
+                                      # tools/supervise.py, which relaunches
+                                      # with --load_path (resume is exact).
                                       # Set above worst-case compile
                                       # (first 3D backward ~10 min).
+    die_at_step: int = 0              # >0: fault injection — abort (exit
+                                      # 17, no checkpoint) when training
+                                      # crosses this step, ONCE per run dir
+                                      # (a .fault_injected sentinel disarms
+                                      # it so a supervised relaunch
+                                      # completes).  Tests the supervisor's
+                                      # kill/resume path (SURVEY §5).
 
     # --- observability / debugging (SURVEY.md §5 aux subsystems) ---
     use_tensorboard: bool = False   # tensorboardX scalars beside metrics.jsonl
@@ -156,21 +187,35 @@ def get_parser() -> argparse.ArgumentParser:
         "network": ["arch", "filters", "num_conv", "repeat", "z_num",
                     "use_curl", "w1", "w2", "w3", "relative_loss",
                     "loss_norm", "embed_bands", "spectral_modes",
+                    "decoder", "grid_levels", "grid_features", "grid_rank",
                     "nn_hidden", "nn_depth",
-                    "w_num", "remat_rollout"],
+                    "w_num", "remat_rollout", "nn_noise"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
-                 "num_worker", "cache_data", "is_3d", "res_x", "res_y",
+                 "num_worker", "cache_data", "input_pipeline",
+                 "eval_holdout_scenes", "is_3d", "res_x", "res_y",
                  "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "grad_clip", "seed", "log_step", "test_step",
                   "save_step",
                   "compute_dtype", "num_data_shards", "num_model_shards",
                   "steps_per_call", "device_data_cache", "cache_dtype",
-                  "spatial_shard", "watchdog_secs"],
+                  "spatial_shard", "watchdog_secs", "die_at_step"],
         "test": ["load_path", "ae_load_path", "test_batch_size",
                  "test_frames", "test_counts"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",
                  "profile_dir", "debug_nans"],
+    }
+    # Categorical flags get explicit choices so a typo like --loss_norm=L1
+    # or --arch=DE fails at parse time instead of silently selecting a
+    # default branch downstream (same failure class _str2bool guards).
+    choices = {
+        "arch": ("de", "ae", "nn"),
+        "data_type": ("velocity", "levelset"),
+        "loss_norm": ("l1", "l2"),
+        "compute_dtype": ("bfloat16", "float32"),
+        "cache_dtype": ("float32", "float16"),
+        "input_pipeline": ("native", "grain"),
+        "decoder": ("be", "grid"),
     }
     for gname, names in groups.items():
         g = p.add_argument_group(gname)
@@ -180,7 +225,8 @@ def get_parser() -> argparse.ArgumentParser:
             if t is bool:
                 g.add_argument(f"--{n}", type=_str2bool, default=default)
             else:
-                g.add_argument(f"--{n}", type=t, default=default)
+                g.add_argument(f"--{n}", type=t, default=default,
+                               choices=choices.get(n))
     return p
 
 
@@ -204,3 +250,33 @@ def load_config(run_dir: str) -> Config:
         d = json.load(f)
     known = {f.name for f in dataclasses.fields(Config)}
     return Config(**{k: v for k, v in d.items() if k in known})
+
+
+def merge_test_config(cli: Config, run_dir: str) -> Config:
+    """Test-time config: the RUN'S OWN saved flags, with explicit CLI
+    overrides on top.
+
+    A test/sweep invocation must rebuild the architecture that was
+    TRAINED, not whatever the current command line defaults to — a sweep
+    launched with bare ``--is_train false --load_path <run>`` on a run
+    with non-default ``--filters``/``--decoder`` would otherwise build a
+    mismatched model and fail checkpoint restore (and, through slow
+    runtimes, orbax renders that structure diff at ~repr-per-array cost,
+    which looks like a hang — observed on the axon tunnel).  CLI flags
+    that differ from the dataclass defaults win (so ``--test_counts``,
+    ``--test_frames`` etc. still work); everything else comes from the
+    run's params.json.  Returns ``cli`` unchanged if the run dir has no
+    params.json.
+    """
+    try:
+        saved = load_config(run_dir)
+    except FileNotFoundError:
+        return cli
+    default = Config()
+    for f in dataclasses.fields(Config):
+        v = getattr(cli, f.name)
+        if v != getattr(default, f.name):
+            setattr(saved, f.name, v)
+    saved.is_train = cli.is_train
+    saved.load_path = cli.load_path
+    return saved

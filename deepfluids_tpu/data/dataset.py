@@ -62,6 +62,13 @@ class FieldDataset:
         )
         self._lock = threading.Lock()
 
+    @property
+    def scene_keys(self) -> list[str]:
+        """Per-file scene identity: the filename minus its ``_<frame>.npz``
+        tail (datagen names frames ``<scene params>_<frame>.npz``)."""
+        return [os.path.basename(f)[:-4].rsplit("_", 1)[0]
+                for f in self.files]
+
     # Picklable for multiprocess loaders (grain workers): drop the lock and
     # the cache, recreate on unpickle.
     def __getstate__(self):
@@ -124,12 +131,27 @@ class BatchManager:
 
     def __init__(self, dataset_dir: str, batch_size: int, seed: int = 0,
                  cache: bool = True, num_workers: int = 8,
-                 field_key: str = "v"):
+                 field_key: str = "v", holdout_scenes: int = 0):
         self.ds = FieldDataset(dataset_dir, cache=cache, field_key=field_key)
         self.manifest = self.ds.manifest
         self.batch_size = batch_size
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        # Scene-level eval holdout: the LAST holdout_scenes distinct scenes
+        # (sorted key order) are excluded from training draws; evaluate()
+        # samples them instead.  With holdout_scenes=0, train_indices is
+        # the identity and the batch stream is bit-identical to always.
+        keys = self.ds.scene_keys
+        distinct = sorted(set(keys))
+        if holdout_scenes >= len(distinct):
+            raise ValueError(
+                f"eval_holdout_scenes={holdout_scenes} but dataset has only "
+                f"{len(distinct)} scenes")
+        held = set(distinct[-holdout_scenes:]) if holdout_scenes else set()
+        self.train_indices = np.array(
+            [i for i, k in enumerate(keys) if k not in held], np.int32)
+        self.eval_indices = np.array(
+            [i for i, k in enumerate(keys) if k in held], np.int32)
         self.pool = cf.ThreadPoolExecutor(max_workers=max(num_workers, 1))
         # Separate 1-thread executor for batch-level prefetch: submitting
         # sample_batch to self.pool and blocking on pool.map inside it
@@ -150,14 +172,18 @@ class BatchManager:
         worker is drawing training batches) MUST pass their own Generator —
         np.random.Generator is not thread-safe."""
         rng = rng if rng is not None else self.rng
-        idx = rng.integers(0, len(self.ds), size=self.batch_size)
-        return self._gather(idx)
+        idx = rng.integers(0, len(self.train_indices), size=self.batch_size)
+        return self._gather(self.train_indices[idx])
 
     def step_batch(self, step: int) -> tuple[np.ndarray, np.ndarray]:
-        """The batch for global step ``step`` — stateless (see step_rng)."""
-        idx = step_batch_indices(self.seed, step, len(self.ds),
+        """The batch for global step ``step`` — stateless (see step_rng).
+
+        Draws positions in the TRAIN subset and maps through train_indices
+        (the identity without a holdout, so the historical stream is
+        preserved bit-for-bit)."""
+        idx = step_batch_indices(self.seed, step, len(self.train_indices),
                                  self.batch_size)
-        return self._gather(idx)
+        return self._gather(self.train_indices[idx])
 
     def batches(self, num_steps: int, start_step: int = 0
                 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:

@@ -20,16 +20,23 @@ from deepfluids_tpu.data.dataset import FieldDataset
 
 
 class _FieldSource:
-    """grain RandomAccessDataSource over a FieldDataset (normalized)."""
+    """grain RandomAccessDataSource over a FieldDataset (normalized).
 
-    def __init__(self, dataset_dir: str, field_key: str = "v"):
+    ``indices`` restricts the source to a subset of frames (the trainer
+    passes BatchManager.train_indices under --eval_holdout_scenes)."""
+
+    def __init__(self, dataset_dir: str, field_key: str = "v",
+                 indices: np.ndarray | None = None):
         self.ds = FieldDataset(dataset_dir, cache=False, field_key=field_key)
+        self.indices = (np.asarray(indices, np.int64)
+                        if indices is not None else None)
 
     def __len__(self) -> int:
-        return len(self.ds)
+        return len(self.ds) if self.indices is None else len(self.indices)
 
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
-        x, y = self.ds.get_normalized(int(i))
+        j = int(i) if self.indices is None else int(self.indices[int(i)])
+        x, y = self.ds.get_normalized(j)
         return {"x": x, "y": y}
 
 
@@ -42,18 +49,20 @@ def make_grain_loader(
     worker_count: int = 4,
     shard_index: int = 0,
     shard_count: int = 1,
+    indices: np.ndarray | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield (x [B, ...], y [B, P]) batches through grain.
 
     Args:
       shard_index/shard_count: per-host sharding for multi-host training
         (pass jax.process_index()/jax.process_count()).
+      indices: optional frame-index subset (eval-holdout training).
     Raises ImportError if grain isn't installed — callers fall back to
     BatchManager.
     """
     import grain.python as grain
 
-    source = _FieldSource(dataset_dir, field_key)
+    source = _FieldSource(dataset_dir, field_key, indices=indices)
     sampler = grain.IndexSampler(
         num_records=len(source),
         shard_options=grain.ShardOptions(shard_index=shard_index,

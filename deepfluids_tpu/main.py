@@ -10,8 +10,16 @@ from __future__ import annotations
 import os
 import sys
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The axon TPU plugin IGNORES the JAX_PLATFORMS env var (CLAUDE.md); honor
+# it here so `JAX_PLATFORMS=cpu python -m deepfluids_tpu.main` actually
+# runs on CPU (supervisor tests, dev loops).  Must happen before backend
+# init — importing jax does not initialize it.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from deepfluids_tpu.config import Config, get_config
 from deepfluids_tpu.utils import get_logger
@@ -27,7 +35,16 @@ def main(config: Config) -> dict:
     if init_distributed():
         log.info("multi-host initialized")
 
-    trainer = Trainer(config)
+    if not config.is_train and config.load_path:
+        # Rebuild the TRAINED architecture from the run's own params.json
+        # (explicit CLI flags still override); never clobber the run's
+        # saved config with test-invocation flags.
+        from deepfluids_tpu.config import merge_test_config
+
+        config = merge_test_config(config, config.load_path)
+        trainer = Trainer(config, run_dir=config.load_path, save_cfg=False)
+    else:
+        trainer = Trainer(config)
     if config.is_train:
         # Resume semantics (SURVEY §5): --load_path on a train run restores
         # the latest checkpoint and continues toward max_step.

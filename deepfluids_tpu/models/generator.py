@@ -152,6 +152,63 @@ class SpectralResidual(nn.Module):
         return x + xr.astype(x.dtype)
 
 
+def _interp_grid(table: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Multilinear interpolation of a dense feature table at query points.
+
+    table: [k_0, ..., k_{P-1}, F] knots over the normalized param domain
+    [-1, 1]^P; p: [B, P] queries (clipped to the domain).  2^P corner
+    gathers + a weighted sum — static shapes, XLA-friendly (each corner is
+    one gather, the weights are elementwise), MXU-free by design (this is
+    a lookup, not a matmul).
+    """
+    import itertools
+
+    num_p = p.shape[-1]
+    sizes = jnp.asarray(table.shape[:-1], jnp.float32)
+    t = jnp.clip((p + 1.0) * 0.5, 0.0, 1.0) * (sizes - 1.0)   # [B, P]
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0,
+                  jnp.asarray(table.shape[:-1], jnp.int32) - 2)
+    w = t - i0                                                # [B, P]
+    out = jnp.zeros(p.shape[:-1] + (table.shape[-1],), table.dtype)
+    for corner in itertools.product((0, 1), repeat=num_p):
+        idx = tuple(i0[..., d] + corner[d] for d in range(num_p))
+        weight = jnp.prod(
+            jnp.stack([w[..., d] if corner[d] else 1.0 - w[..., d]
+                       for d in range(num_p)], axis=-1), axis=-1)
+        out = out + table[idx] * weight[..., None]
+    return out
+
+
+class MultiResParamGrid(nn.Module):
+    """Multi-resolution learned feature grids over the PARAMETER domain.
+
+    Beyond-reference capability (no deep-fluids analogue): level ``l`` is a
+    dense table with ``base * 2**l + 1`` knots per param axis, multilinearly
+    interpolated at the (normalized) parameter vector; level outputs are
+    concatenated.  Coarse levels carve the smooth global structure of the
+    (position, size, frame) -> field map, fine levels give the decoder a
+    piecewise-linear handle on fast frame-axis dynamics that a single
+    linear fc_in cannot express (the measured error concentrates there —
+    BENCHMARKS.md "quality plateau, diagnosed").
+    """
+
+    levels: int = 4
+    features: int = 4
+    base: int = 2
+
+    @nn.compact
+    def __call__(self, p: jnp.ndarray) -> jnp.ndarray:
+        num_p = p.shape[-1]
+        feats = []
+        for lvl in range(self.levels):
+            knots = self.base * 2 ** lvl + 1
+            table = self.param(
+                f"grid_{lvl}", nn.initializers.normal(1e-2),
+                (knots,) * num_p + (self.features,), jnp.float32)
+            feats.append(_interp_grid(table, p.astype(jnp.float32)))
+        return jnp.concatenate(feats, axis=-1)
+
+
 def upscale_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Nearest-neighbor spatial upsampling for NHWC / NDHWC tensors.
 
@@ -184,6 +241,27 @@ class GeneratorBE(nn.Module):
         (widens fc_in only; 0 = reference-parity).
       spectral_modes: >0 appends a zero-init :class:`SpectralResidual`
         global filter to each stage's conv stack (0 = reference-parity).
+      grid_levels/grid_features: >0 activates the "grid" decoder family
+        (--decoder grid): a :class:`MultiResParamGrid` embedding widens
+        fc_in, and every stage receives a parameter-conditioned LOW-RANK
+        SPATIAL BASIS injection (see below).  0 = reference-parity.
+      grid_rank: rank of the per-stage spatial basis (grid decoder).
+
+    Grid decoder family (beyond-reference; targets the ~0.215 overfit
+    floor of the BE conv pyramid, BENCHMARKS.md "quality plateau,
+    diagnosed"): the BE family must synthesize ALL spatial detail from an
+    8x6 seed through 3x3 convs + nearest upsampling — interior
+    low-frequency residuals converge slowly.  Here each stage k of
+    resolution (H_k, W_k) additionally gets
+
+        inject_k = zero-init 1x1 conv( a_k(p) . B_k )
+
+    where B_k is a LEARNED basis of ``grid_rank`` spatial feature maps at
+    the stage's own resolution and a_k(p) = Dense(grid_rank) of the
+    grid-embedded params — i.e. parameter-modulated global basis fields
+    at every scale, the low-rank core of a multi-resolution feature-grid
+    decoder.  Zero-init keeps the forward pass equal to the BE trunk at
+    step 0, so optimization starts from the known-good family.
     """
 
     output_shape: tuple[int, ...] = (128, 96, 1)
@@ -195,6 +273,9 @@ class GeneratorBE(nn.Module):
     spatial_mesh: Any = None
     embed_bands: int = 0
     spectral_modes: int = 0
+    grid_levels: int = 0
+    grid_features: int = 0
+    grid_rank: int = 0
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -212,12 +293,20 @@ class GeneratorBE(nn.Module):
         act = lambda v: nn.leaky_relu(v, negative_slope=self.act_slope)
 
         z = fourier_embed(z, self.embed_bands)
+        grid_on = self.grid_levels > 0 and self.grid_features > 0
+        if grid_on:
+            z = jnp.concatenate(
+                [z, MultiResParamGrid(self.grid_levels, self.grid_features,
+                                      name="param_grid")(z)], axis=-1)
         x = nn.Dense(int(np.prod(coarse)) * self.filters, dtype=self.dtype,
                      name="fc_in")(z.astype(self.dtype))
         x = x.reshape((-1,) + coarse + (self.filters,))
         x = spatial_constraint(x, self.spatial_mesh)
         x0 = x
         for stage in range(rep):
+            if grid_on and self.grid_rank > 0:
+                x = x + self._basis_inject(z, x.shape[1:-1], ndim, stage)
+                x = spatial_constraint(x, self.spatial_mesh)
             for c in range(self.num_conv):
                 x = act(nn.Conv(self.filters, kernel, dtype=self.dtype,
                                 name=f"conv_{stage}_{c}")(x))
@@ -234,3 +323,25 @@ class GeneratorBE(nn.Module):
                 x = x + x0
         out = nn.Conv(out_ch, kernel, dtype=self.dtype, name="conv_out")(x)
         return spatial_constraint(out, self.spatial_mesh).astype(jnp.float32)
+
+    def _basis_inject(self, z: jnp.ndarray, res: tuple[int, ...],
+                      ndim: int, stage: int) -> jnp.ndarray:
+        """Parameter-modulated spatial basis for one stage (grid decoder):
+        a_k(p) [B, R] contracted with basis B_k [R, *res, F], projected to
+        ``filters`` by a 1x1 conv.  The BASIS is zero-init (injection = 0
+        at step 0, so the forward pass starts exactly on the BE trunk)
+        while the projection is normally-init — gradients reach the basis
+        through the live projection immediately, instead of stalling
+        behind a zero layer (the reverse placement measurably starves the
+        basis: its grads are exactly 0 until the projection moves)."""
+        a = nn.Dense(self.grid_rank, dtype=jnp.float32,
+                     name=f"coef_{stage}")(z.astype(jnp.float32))
+        basis = self.param(
+            f"basis_{stage}", nn.initializers.zeros,
+            (self.grid_rank,) + tuple(res) + (self.grid_features,),
+            jnp.float32)
+        sub = "dhw"[3 - ndim:]
+        inj = jnp.einsum(f"br,r{sub}f->b{sub}f", a, basis)
+        return nn.Conv(self.filters, (1,) * ndim, use_bias=False,
+                       dtype=self.dtype, name=f"inj_{stage}")(
+            inj.astype(self.dtype))

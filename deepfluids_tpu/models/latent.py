@@ -70,6 +70,8 @@ def rollout(
     p_seq: jnp.ndarray,
     num_param: int,
     remat: bool = False,
+    noise_std: float = 0.0,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Advance a latent code through time with the integrator via lax.scan.
 
@@ -85,6 +87,14 @@ def rollout(
       remat: rematerialize each step under grad — O(1) activation memory
         for long training windows (SURVEY.md §7 "Hard parts": watch
         rematerialization cost for w=30) at the price of a second forward.
+      noise_std: >0 adds zero-mean Gaussian noise to the carried free block
+        BEFORE each integrator call (training-noise / scheduled-sampling
+        analogue): the MLP learns to step from slightly-wrong states back
+        toward the true trajectory, which is exactly the regime a long
+        test-time rollout puts it in — the drift stabilizer for horizons
+        far past the training window w.  Inference keeps noise_std=0.
+      rng: PRNGKey for the noise (required when noise_std > 0); fold in
+        the global step for a deterministic, exactly-resumable stream.
 
     Returns:
       ``[T, B, z_num]`` latent trajectory (z_0 included as step 0).
@@ -92,9 +102,18 @@ def rollout(
     z_free0 = z0[:, num_param:]
     dp_seq = p_seq[1:] - p_seq[:-1]  # [T-1, B, num_param]
 
+    if noise_std > 0.0:
+        if rng is None:
+            raise ValueError("rollout(noise_std>0) needs an rng key")
+        eps_seq = noise_std * jax.random.normal(
+            rng, dp_seq.shape[:2] + (z_free0.shape[-1],), z_free0.dtype)
+    else:
+        eps_seq = jnp.zeros((dp_seq.shape[0], 1, 1), z_free0.dtype)
+
     def step(carry, inp):
         z_free, p_cur = carry
-        dp, p_next = inp
+        dp, p_next, eps = inp
+        z_free = z_free + eps     # corrupt the carried state (train only)
         z_full = jnp.concatenate([p_cur, z_free], axis=-1)
         z_free = z_free + apply_fn(params, z_full, dp)
         z = jnp.concatenate([p_next, z_free], axis=-1)
@@ -102,6 +121,7 @@ def rollout(
 
     if remat:
         step = jax.checkpoint(step)
-    _, traj = jax.lax.scan(step, (z_free0, p_seq[0]), (dp_seq, p_seq[1:]))
+    _, traj = jax.lax.scan(step, (z_free0, p_seq[0]),
+                           (dp_seq, p_seq[1:], eps_seq))
     z_first = jnp.concatenate([p_seq[0], z_free0], axis=-1)[None]
     return jnp.concatenate([z_first, traj], axis=0)

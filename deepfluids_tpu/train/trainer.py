@@ -73,12 +73,29 @@ class Trainer:
             self.bm = BatchManager(
                 config.dataset_dir, config.batch_size, seed=config.seed,
                 cache=config.cache_data, num_workers=config.num_worker,
-                field_key=field_key)
+                field_key=field_key,
+                holdout_scenes=config.eval_holdout_scenes)
             self.manifest = self.bm.manifest
         else:  # nn
+            if config.eval_holdout_scenes:
+                raise ValueError(
+                    "--eval_holdout_scenes applies to arch de/ae (field "
+                    "datasets); hold scenes out of the AE encode pass "
+                    "instead for arch nn")
             self.codes = CodeDataset(config.dataset_dir, config.z_num,
                                      seed=config.seed)
             self.manifest = self.codes.manifest
+        if config.input_pipeline == "grain":
+            if config.arch not in ("de", "ae"):
+                raise ValueError("--input_pipeline grain serves field "
+                                 "batches (arch de/ae only)")
+            if config.device_data_cache:
+                raise ValueError(
+                    "--input_pipeline grain streams batches; it cannot "
+                    "feed --device_data_cache (which gathers on device)")
+        if config.decoder == "grid" and config.arch != "de":
+            raise ValueError("--decoder grid applies to arch de (the "
+                             "parameterized generator)")
         self.num_param = self.manifest.num_param
         self._check_geometry_flags()
 
@@ -174,11 +191,15 @@ class Trainer:
         out_shape = res + (self._potential_channels(),)
         smesh = self.mesh if c.spatial_shard else None
         if c.arch == "de":
+            grid = c.decoder == "grid"
             return GeneratorBE(output_shape=out_shape, filters=c.filters,
                                num_conv=c.num_conv, repeat=c.repeat,
                                dtype=self.dtype, spatial_mesh=smesh,
                                embed_bands=c.embed_bands,
-                               spectral_modes=c.spectral_modes)
+                               spectral_modes=c.spectral_modes,
+                               grid_levels=c.grid_levels if grid else 0,
+                               grid_features=c.grid_features if grid else 0,
+                               grid_rank=c.grid_rank if grid else 0)
         if c.arch == "ae":
             return Autoencoder(output_shape=out_shape, z_num=c.z_num,
                                filters=c.filters, num_conv=c.num_conv,
@@ -257,16 +278,25 @@ class Trainer:
                 del aux["pred"]
                 return loss, aux
         else:  # nn — batch is (z_seq [W,B,z], p_seq [W,B,P])
-            def loss_fn(params, z_seq, p_seq):
+            def loss_fn(params, z_seq, p_seq, step_num=0):
                 apply = lambda p, zf, dp: self.state.apply_fn(
                     {"params": p}, zf, dp)
+                # --nn_noise: per-step state corruption during the training
+                # window (drift stabilizer; models/latent.rollout).  The
+                # noise stream is a pure function of (seed, global step) —
+                # same exact-resume contract as the batch order.
+                rng = (jax.random.fold_in(
+                    jax.random.PRNGKey(c.seed ^ 0x6E01), step_num)
+                    if c.nn_noise > 0 else None)
                 z_pred = rollout(apply, params, z_seq[0], p_seq, num_param,
-                                 remat=c.remat_rollout)
+                                 remat=c.remat_rollout,
+                                 noise_std=c.nn_noise, rng=rng)
                 return losses.latent_window_loss(z_pred, z_seq, num_param)
 
         def step(state, a, b):
+            extra = (state.step,) if c.arch == "nn" else ()
             (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, a, b)
+                loss_fn, has_aux=True)(state.params, a, b, *extra)
             new_state = state.apply_gradients(grads=grads)
             aux["loss"] = loss
             return new_state, aux
@@ -412,14 +442,41 @@ class Trainer:
         """Batches for global steps start_step+1 .. start_step+num_steps.
 
         Content is a pure function of (seed, step) — the exact-resume
-        contract (data.dataset.step_rng)."""
-        if self.c.arch in ("de", "ae"):
-            yield from self.bm.batches(num_steps, start_step=start_step)
-        else:
+        contract (data.dataset.step_rng).  The grain pipeline's stream is
+        deterministic per seed too; resume replays (skips) the first
+        start_step batches to reach the same position."""
+        if self.c.arch not in ("de", "ae"):
             for k in range(num_steps):
                 yield self.codes.window_batch(self.c.batch_size,
                                               self.c.w_num,
                                               step=start_step + k + 1)
+        elif self.c.input_pipeline == "grain":
+            yield from self._grain_batches(num_steps, start_step)
+        else:
+            yield from self.bm.batches(num_steps, start_step=start_step)
+
+    def _grain_batches(self, num_steps: int, start_step: int = 0
+                       ) -> Iterator[tuple]:
+        """Grain-backed batch stream (SURVEY §2 DP row: "sharded grain
+        loader"): worker-process prefetch + per-host sharding — each host
+        reads only its slice of the dataset (jax.process_index/count)."""
+        import itertools
+
+        from deepfluids_tpu.data.grain_loader import make_grain_loader
+
+        if start_step:
+            log.info("grain resume: replaying %d batches to position",
+                     start_step)
+        field_key = "l" if self.c.data_type == "levelset" else "v"
+        it = make_grain_loader(
+            self.c.dataset_dir, self.c.batch_size, seed=self.c.seed,
+            field_key=field_key,
+            worker_count=min(self.c.num_worker, 4),
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+            indices=(self.bm.train_indices
+                     if self.c.eval_holdout_scenes else None))
+        yield from itertools.islice(it, start_step, start_step + num_steps)
 
     # ------------------------------------------------------------------
     # hang watchdog (SURVEY.md §5 "failure detection": observed failure
@@ -435,21 +492,26 @@ class Trainer:
         """Start the daemon watcher.  The train loop arms ``_wd_deadline``
         before device work and clears it after; if the deadline passes
         while armed, the process aborts with exit code 17 so a supervisor
-        can relaunch with ``--load_path`` (resume is exact — same batch
-        sequence, bitwise-identical trajectory)."""
+        (tools/supervise.py) can relaunch with ``--load_path`` (resume is
+        exact — same batch sequence, bitwise-identical trajectory).
+
+        The timeout lives on ``self`` (not in the closure) so a second
+        train() call with a different ``watchdog_secs`` retunes the
+        already-running watcher's cadence and message."""
         import threading
 
+        self._wd_timeout = timeout
         if self._wd_thread is not None:
             return
 
         def watch():
             while True:
-                time.sleep(min(5.0, timeout / 4))
+                time.sleep(min(5.0, self._wd_timeout / 4))
                 d = self._wd_deadline
                 if d is not None and time.monotonic() > d:
                     log.error("watchdog: no device-call progress in %.0fs "
                               "— aborting for supervised resume (exit 17)",
-                              timeout)
+                              self._wd_timeout)
                     self._wd_deadline = None   # fire once
                     self._wd_abort()
                     return
@@ -482,7 +544,9 @@ class Trainer:
             num_steps = rounded
         use_cache = c.device_data_cache and c.arch in ("de", "ae")
         if use_cache:
-            cache_n = len(self.bm.ds)
+            # Draw positions over the TRAIN subset; the full dataset sits
+            # in the HBM cache, the index map keeps holdout frames out.
+            cache_n = len(self.bm.train_indices)
         else:
             it = self._batches(num_steps, start_step=start_step)
 
@@ -519,9 +583,9 @@ class Trainer:
                         profiling = False
                 if use_cache:
                     from deepfluids_tpu.data.dataset import step_batch_indices
-                    idx = np.stack([
+                    idx = self.bm.train_indices[np.stack([
                         step_batch_indices(c.seed, s, cache_n, c.batch_size)
-                        for s in range(step - take + 1, step + 1)])
+                        for s in range(step - take + 1, step + 1)])]
                     cx, cy = self._load_device_cache()
                     self.state, aux = self._get_cached_multi()(
                         self.state, idx, cx, cy)
@@ -545,11 +609,22 @@ class Trainer:
                             self._tb.add_scalar(k2, v, step)
                     log.info("step %d loss %.5f (%.2f it/s)", step,
                              last_aux["loss"], rate)
+                # Host-only work below (sample renders, checkpoint
+                # serialization over a ~12 MB/s link) can legitimately take
+                # longer than watchdog_secs — disarm first so the watchdog
+                # only times DEVICE calls.
+                self._wd_deadline = None
+                if c.die_at_step and step >= c.die_at_step:
+                    sentinel = os.path.join(self.run_dir, ".fault_injected")
+                    if not os.path.exists(sentinel):
+                        open(sentinel, "w").close()
+                        log.error("fault injection: dying at step %d "
+                                  "without checkpointing (exit 17)", step)
+                        os._exit(17)  # hard kill — no checkpoint, no flush
                 if crossed(c.test_step, step, take):
                     self._dump_samples(step)
                 if crossed(c.save_step, step, take) or seen == num_steps:
                     self.save_checkpoint()
-                self._wd_deadline = None
                 first_call = False
         finally:
             # An exception escaping the loop (debug_nans, KeyboardInterrupt,
@@ -578,11 +653,16 @@ class Trainer:
 
         if self.c.arch == "nn":
             return self._evaluate_nn(num_samples, decode_fn)
-        n = len(self.bm.ds)
-        idx = np.linspace(0, n - 1, min(num_samples, n)).astype(int)
+        # With --eval_holdout_scenes the eval pool is scenes the training
+        # draws NEVER see (a true held-out number); otherwise it is a
+        # uniform sample of the training set, and says so.
+        holdout = bool(self.c.eval_holdout_scenes)
+        pool = self.bm.eval_indices if holdout else np.arange(len(self.bm.ds))
+        n = len(pool)
+        idx = pool[np.linspace(0, n - 1, min(num_samples, n)).astype(int)]
         xs, ys = zip(*[self.bm.ds.get_normalized(int(i)) for i in idx])
         xs = np.stack(xs)
-        out = {"num_samples": int(len(idx))}
+        out = {"num_samples": int(len(idx)), "holdout": holdout}
 
         def chunked(fn, arr):
             # Fixed-size (padded) chunks: ONE compile shape no matter what

@@ -59,3 +59,41 @@ class TestCLIFlow:
             assert d["x"].shape == (4, 32, 32, 2)
             assert np.isfinite(d["x"]).all()
         assert os.path.exists(os.path.join(out, "rollout.gif"))
+
+
+class TestTestTimeConfigMerge:
+    """A test/sweep invocation must rebuild the TRAINED architecture from
+    the run's own params.json and must NOT clobber it (regression: a bare
+    `--is_train false --load_path <run>` on a non-default-arch run built a
+    mismatched model, overwrote params.json, and failed restore)."""
+
+    def test_sweep_rebuilds_trained_arch(self, env):
+        import json
+
+        main(cfg(env, tag="gridde", decoder="grid", grid_levels=2,
+                 grid_features=2, grid_rank=2, filters=4))
+        run = os.path.join(env["logs"], "tiny_gridde")
+        with open(os.path.join(run, "params.json")) as f:
+            saved = json.load(f)
+        assert saved["decoder"] == "grid" and saved["filters"] == 4
+
+        # bare test invocation: only test-surface flags set
+        bare = Config(is_train=False, load_path=run, data_dir=env["data"],
+                      dataset="tiny", log_dir=env["logs"], test_frames=2,
+                      test_batch_size=8)
+        r = main(bare)
+        assert r["num_fields"] > 0
+        with open(os.path.join(run, "params.json")) as f:
+            after = json.load(f)
+        assert after == saved   # params.json untouched by the sweep
+
+    def test_merge_prefers_explicit_cli(self, env):
+        from deepfluids_tpu.config import merge_test_config
+
+        run = os.path.join(env["logs"], "tiny_gridde")
+        cli = Config(is_train=False, load_path=run, test_counts="2,1",
+                     data_dir=env["data"], log_dir=env["logs"])
+        merged = merge_test_config(cli, run)
+        assert merged.decoder == "grid" and merged.filters == 4  # from run
+        assert merged.test_counts == "2,1"                       # from CLI
+        assert not merged.is_train
