@@ -70,6 +70,80 @@ def pressure_project2d(vel: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
     return vel - jnp.stack([gx, gy], axis=-1)
 
 
+def laplacian2d(p: jnp.ndarray) -> jnp.ndarray:
+    """5-point Laplacian with edge-replicated (Neumann) boundaries — the
+    EXACT operator the Jacobi sweep in :func:`pressure_project2d` relaxes
+    (p_new = (sum_neighbors - div)/4  <=>  laplacian2d(p) = div)."""
+    pn = jnp.pad(p, 1, mode="edge")
+    return (pn[2:, 1:-1] + pn[:-2, 1:-1] + pn[1:-1, 2:] + pn[1:-1, :-2]
+            - 4.0 * p)
+
+
+def solve_pressure2d_cg(div: jnp.ndarray, tol: float = 1e-6,
+                        maxiter: int = 2000) -> jnp.ndarray:
+    """Conjugate-gradient reference solve of ``laplacian2d(p) = div``.
+
+    The independent-convergence oracle for the production Jacobi sweep
+    (SURVEY.md §7 hard parts: "the pressure solve must be good enough that
+    generated datasets have the same statistics" — mantaflow is
+    unavailable here, so the closable check is Jacobi-vs-converged-CG on
+    the IDENTICAL discretization; tools/solver_consistency.py runs it and
+    tests/test_datagen.py pins it).  The pure-Neumann operator has a
+    constant null space; the RHS is projected mean-zero and CG iterates on
+    -laplacian (positive semidefinite).
+    """
+    # Hand-rolled deflated CG rather than jax.scipy.sparse.linalg.cg: on
+    # this SINGULAR system rounding feeds the constant null-space mode and
+    # plain CG exhibits plateau-rebound (residual 2.5e-4 @ iter 500 ->
+    # 0.89 @ iter 1000, measured at 128x96 in f64) — library CG returns a
+    # garbage iterate at maxiter.  Projecting the mean out of the residual
+    # and search direction every iteration keeps the Krylov space inside
+    # range(A), where the operator is SPD and convergence is guaranteed.
+    # f32 still loses conjugacy over O(1000) iterations; under
+    # jax_enable_x64 this promotion makes the solve run in real float64
+    # (the study tool enables it), otherwise it is a no-op and the f32
+    # path should keep tol modest (~1e-5).
+    f64 = jnp.promote_types(div.dtype, jnp.float64)
+    rhs = (div.astype(f64) - jnp.mean(div.astype(f64)))
+    b = -rhs                                  # solve (-lap) p = -div, PSD
+    A = lambda q: -laplacian2d(q)
+    proj = lambda q: q - jnp.mean(q)          # deflate the constant mode
+    atol2 = (tol * jnp.linalg.norm(b)) ** 2
+
+    def cond(carry):
+        _, r, _, rs, k = carry
+        return jnp.logical_and(rs > atol2, k < maxiter)
+
+    def body(carry):
+        x, r, p, rs, k = carry
+        Ap = A(p)
+        alpha = rs / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = proj(r - alpha * Ap)
+        rs_new = jnp.vdot(r, r)
+        p = proj(r + (rs_new / rs) * p)
+        return x, r, p, rs_new, k + 1
+
+    x0 = jnp.zeros_like(b)
+    r0 = proj(b)
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, jnp.vdot(r0, r0), jnp.array(0)))
+    return (x - jnp.mean(x)).astype(div.dtype)
+
+
+def pressure_project2d_cg(vel: jnp.ndarray, tol: float = 1e-6,
+                          maxiter: int = 2000) -> jnp.ndarray:
+    """:func:`pressure_project2d` with the CG reference solve in place of
+    the fixed Jacobi iteration count (same divergence, same gradient
+    subtract) — the converged-projection oracle."""
+    div = divergence2d_c(vel)
+    p = solve_pressure2d_cg(div, tol=tol, maxiter=maxiter)
+    pn = jnp.pad(p, 1, mode="edge")
+    gx = (pn[1:-1, 2:] - pn[1:-1, :-2]) * 0.5
+    gy = (pn[2:, 1:-1] - pn[:-2, 1:-1]) * 0.5
+    return vel - jnp.stack([gx, gy], axis=-1)
+
+
 def wall_bc2d(vel: jnp.ndarray) -> jnp.ndarray:
     """Zero wall-normal velocity on the box boundary (closed domain)."""
     u = vel[..., 0].at[:, 0].set(0.0).at[:, -1].set(0.0)

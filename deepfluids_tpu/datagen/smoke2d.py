@@ -26,6 +26,11 @@ class Smoke2DConfig:
     buoyancy: float = 0.08      # upward force per unit density
     source_rate: float = 1.0    # density injected per step inside source
     project_iters: int = 50
+    projection: str = "jacobi"  # "jacobi" (production, project_iters sweeps)
+                                # | "cg" (converged reference solve — the
+                                # solver-consistency oracle; see
+                                # tools/solver_consistency.py)
+    cg_tol: float = 1e-6
 
 
 def _source_mask(h: int, w: int, pos_x: jnp.ndarray, radius: jnp.ndarray,
@@ -51,7 +56,10 @@ def step(state, src_mask, cfg: Smoke2DConfig):
     rho = grids.advect2d(rho, vel, cfg.dt)
     vel = grids.advect2d(vel, vel, cfg.dt)
     vel = grids.wall_bc2d(vel)
-    vel = grids.pressure_project2d(vel, cfg.project_iters)
+    if cfg.projection == "cg":
+        vel = grids.pressure_project2d_cg(vel, tol=cfg.cg_tol)
+    else:
+        vel = grids.pressure_project2d(vel, cfg.project_iters)
     vel = grids.wall_bc2d(vel)
     return vel, rho
 

@@ -273,3 +273,48 @@ class TestPicklableSource:
         ds2 = pickle.loads(pickle.dumps(ds))
         x, y = ds2.get(0)
         assert x.shape == (32, 32, 2)
+
+
+class TestSolverConsistency:
+    """Small-scale pin of tools/solver_consistency.py's conclusions
+    (SURVEY.md §7 hard parts: pressure-solve adequacy; full-scale record in
+    BENCHMARKS.jsonl metric=solver_consistency_2d)."""
+
+    def test_cg_beats_jacobi_and_ordering_holds(self):
+        from deepfluids_tpu.datagen import grids
+
+        # Developed-ish field: run a short plume, then advect once to put
+        # fresh divergence in.
+        cfg = Smoke2DConfig(height=48, width=32, num_frames=20,
+                            project_iters=20)
+        vel, _ = simulate_smoke2d(jnp.float32(0.5), jnp.float32(0.12), cfg)
+        dirty = grids.advect2d(vel[-1], vel[-1], 1.0)
+
+        def div_rms(v):
+            d = np.asarray(divergence2d_c(jnp.asarray(v)))[1:-1, 1:-1]
+            return float(np.sqrt((d * d).mean()))
+
+        d0 = div_rms(dirty)
+        j20 = np.asarray(grids.pressure_project2d(dirty, iters=20))
+        j100 = np.asarray(grids.pressure_project2d(dirty, iters=100))
+        # f32 CG: modest tol (grids.solve_pressure2d_cg docstring).
+        cg = np.asarray(grids.pressure_project2d_cg(dirty, tol=1e-5,
+                                                    maxiter=3000))
+
+        # Residual ordering: converged CG < Jacobi-100 < Jacobi-20 < dirty.
+        assert div_rms(cg) < div_rms(j100) < div_rms(j20) < d0
+
+        # Jacobi iterates approach the converged projection monotonically.
+        rms = float(np.sqrt((cg ** 2).mean()))
+        d_j20 = float(np.sqrt(((j20 - cg) ** 2).mean())) / rms
+        d_j100 = float(np.sqrt(((j100 - cg) ** 2).mean())) / rms
+        assert d_j100 < d_j20
+
+        # The converged projection is (near-)idempotent; Jacobi-20's is not.
+        cg2 = np.asarray(grids.pressure_project2d_cg(
+            jnp.asarray(cg), tol=1e-5, maxiter=3000))
+        rep = float(np.sqrt(((cg2 - cg) ** 2).mean())) / rms
+        j20b = np.asarray(grids.pressure_project2d(jnp.asarray(j20),
+                                                   iters=20))
+        rep_j = float(np.sqrt(((j20b - j20) ** 2).mean())) / rms
+        assert rep < 0.5 * rep_j

@@ -1,0 +1,192 @@
+"""Pressure-solve self-consistency study (SURVEY.md §7 "hard parts").
+
+The SURVEY flags that "the pressure solve must be good enough that
+generated datasets have the same statistics" as the reference's mantaflow
+pipeline.  Mantaflow is unavailable in this environment, so this study
+closes what can be closed: the production Jacobi sweep is compared against
+an INDEPENDENT converged solver (conjugate gradients,
+datagen.grids.solve_pressure2d_cg) on the identical discretization, on
+two axes:
+
+1. single-projection accuracy — divergence residual after projecting a
+   developed turbulent-ish plume velocity field with Jacobi-k for several
+   k vs the CG reference, plus the velocity-field distance to the
+   converged projection;
+2. trajectory statistics — a full smoke scene integrated with Jacobi-50
+   (the production dataset setting) vs the SAME scene integrated with CG
+   projection every step: kinetic-energy time series and the
+   radially-binned energy spectrum of the final frame.
+
+Appends one JSON record to BENCHMARKS.jsonl; tests/test_datagen.py pins
+the qualitative conclusions at small scale so a solver regression fails
+CI.  Run on CPU by default (JAX_PLATFORMS=cpu honored via jax.config) so
+it never contends with chip benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+# Real float64 for the CG reference solve (grids.solve_pressure2d_cg
+# promotes); f32 CG loses conjugacy over the O(1000) iterations the
+# converged reference needs at 128x96.
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepfluids_tpu.datagen import grids
+from deepfluids_tpu.datagen.smoke2d import Smoke2DConfig, simulate_smoke2d
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def div_norm(vel: np.ndarray) -> float:
+    """Interior L2 norm of central divergence (boundary rows/cols carry the
+    Neumann closure and are excluded on BOTH solvers identically)."""
+    d = np.asarray(grids.divergence2d_c(jnp.asarray(vel)))[1:-1, 1:-1]
+    return float(np.sqrt(np.mean(d * d)))
+
+
+def energy_spectrum(vel: np.ndarray, nbins: int = 16) -> np.ndarray:
+    """Radially-binned kinetic-energy spectrum of vel [H, W, 2]."""
+    fu = np.fft.rfft2(vel[..., 0])
+    fv = np.fft.rfft2(vel[..., 1])
+    e = (np.abs(fu) ** 2 + np.abs(fv) ** 2)
+    h, wr = e.shape
+    ky = np.fft.fftfreq(h)[:, None]
+    kx = np.fft.rfftfreq(2 * (wr - 1))[None, :]
+    k = np.sqrt(ky * ky + kx * kx)
+    edges = np.linspace(0, k.max() + 1e-9, nbins + 1)
+    out = np.zeros(nbins)
+    for i in range(nbins):
+        m = (k >= edges[i]) & (k < edges[i + 1])
+        out[i] = e[m].sum()
+    return out
+
+
+def _traj_stats(va: np.ndarray, vb: np.ndarray, frames: int) -> dict:
+    """Late-window statistical distance between two trajectories: relative
+    kinetic-energy gap and radial-spectrum relative error (b = reference)."""
+    late = slice(frames // 2, None)
+    ke_a = (va ** 2).sum(axis=(1, 2, 3))
+    ke_b = (vb ** 2).sum(axis=(1, 2, 3))
+    ke_rel = (ke_a[late].mean() - ke_b[late].mean()) / ke_b[late].mean()
+    sp_a = np.mean([energy_spectrum(f) for f in va[late]], axis=0)
+    sp_b = np.mean([energy_spectrum(f) for f in vb[late]], axis=0)
+    live = sp_b > sp_b.max() * 1e-6          # bins carrying real energy
+    sp_rel = np.abs(sp_a - sp_b)[live] / sp_b[live]
+    return {"ke": float(ke_rel), "sp_med": float(np.median(sp_rel)),
+            "sp_max": float(sp_rel.max())}
+
+
+def run_study(height: int = 128, width: int = 96, frames: int = 100,
+              jacobi_iters: tuple[int, ...] = (20, 50, 100),
+              ensemble: int = 5) -> dict:
+    cfg = dict(height=height, width=width, num_frames=frames)
+    t0 = time.time()
+
+    # --- trajectory ensemble: production Jacobi-50 vs converged CG, with a
+    # CHAOS CONTROL.  Pointwise comparison is chaos-limited — after enough
+    # frames ANY perturbation decorrelates the flows — so even late-window
+    # time averages of a single developing plume carry realization
+    # variance.  The control twin (Jacobi-50 vs Jacobi-50 with buoyancy
+    # perturbed by 1e-4 — same solver, epsilon-different physics; 1e-6
+    # rounds away entirely in f32) measures that chaos floor.  KE gaps are
+    # SIGNED per scene: a solver bias shows a consistent sign across the
+    # ensemble, chaos variance shows random signs.
+    jc_stats, ctrl_stats = [], []
+    for i in range(ensemble):
+        pos = jnp.float32(0.2 + 0.6 * i / max(1, ensemble - 1))
+        size = jnp.float32(0.06 + 0.01 * (i % 3))
+        vj, _ = simulate_smoke2d(pos, size, Smoke2DConfig(**cfg))
+        vc, _ = simulate_smoke2d(pos, size, Smoke2DConfig(projection="cg",
+                                                          **cfg))
+        vp, _ = simulate_smoke2d(pos, size, Smoke2DConfig(
+            buoyancy=0.08 * (1 + 1e-4), **cfg))
+        vj, vc, vp = np.asarray(vj), np.asarray(vc), np.asarray(vp)
+        jc_stats.append(_traj_stats(vj, vc, frames))
+        ctrl_stats.append(_traj_stats(vp, vj, frames))
+        if i == 0:
+            vj0, vc0 = vj, vc
+
+    med = lambda recs, k: float(np.median([abs(r[k]) for r in recs]))
+    signed = lambda recs: [round(r["ke"], 4) for r in recs]
+
+    # early deterministic window: before chaos kicks in the two solvers
+    # must agree pointwise (scene 0)
+    ke_j = (vj0 ** 2).sum(axis=(1, 2, 3))
+    ke_c = (vc0 ** 2).sum(axis=(1, 2, 3))
+    early = slice(1, max(2, frames // 5))
+    ke_rel_early = np.abs(ke_j[early] - ke_c[early]) / np.maximum(
+        ke_c[early], 1e-12)
+
+    traj_l2 = np.sqrt(((vj0 - vc0) ** 2).mean(axis=(1, 2, 3)))
+    vscale = np.sqrt((vc0 ** 2).mean(axis=(1, 2, 3))).max()
+    vj, vc = vj0, vc0
+
+    # --- single-projection accuracy on the developed final CG frame ------
+    vel = jnp.asarray(vc[-1])
+    # re-disturb: advect once so the field has fresh divergence to remove
+    dirty = grids.advect2d(vel, vel, 1.0)
+    d0 = div_norm(np.asarray(dirty))
+    proj = {}
+    for k in jacobi_iters:
+        pk = np.asarray(grids.pressure_project2d(dirty, iters=k))
+        proj[f"jacobi_{k}"] = pk
+    proj["cg"] = np.asarray(grids.pressure_project2d_cg(dirty, tol=1e-8))
+
+    # How converged is the CG reference itself on the compact system?
+    div_d = np.asarray(grids.divergence2d_c(dirty))
+    pcg = np.asarray(grids.solve_pressure2d_cg(
+        grids.divergence2d_c(dirty), tol=1e-10))
+    compact_res = np.asarray(grids.laplacian2d(jnp.asarray(pcg))) - (
+        div_d - div_d.mean())
+    cg_compact_rel = float(np.sqrt((compact_res ** 2).mean())
+                           / np.sqrt((div_d ** 2).mean()))
+
+    residuals = {name: div_norm(v) / d0 for name, v in proj.items()}
+    vrms = float(np.sqrt((proj["cg"] ** 2).mean()))
+    vel_dist = {
+        name: float(np.sqrt(((v - proj["cg"]) ** 2).mean()) / vrms)
+        for name, v in proj.items() if name != "cg"
+    }
+
+    return {
+        "metric": "solver_consistency_2d",
+        "resolution": [height, width],
+        "frames": frames,
+        "cg_compact_residual_rel": round(cg_compact_rel, 9),
+        "div_residual_vs_unprojected": {k: round(v, 6)
+                                        for k, v in residuals.items()},
+        "vel_rel_l2_to_converged": {k: round(v, 6)
+                                    for k, v in vel_dist.items()},
+        "ensemble": ensemble,
+        "ke_rel_err_early_max": round(float(ke_rel_early.max()), 5),
+        "ke_stat_rel_jacobi_vs_cg": round(med(jc_stats, "ke"), 5),
+        "ke_stat_rel_chaos_control": round(med(ctrl_stats, "ke"), 5),
+        "ke_signed_gaps_jacobi_vs_cg": signed(jc_stats),
+        "ke_signed_gaps_chaos_control": signed(ctrl_stats),
+        "spectrum_rel_med_jacobi_vs_cg": round(med(jc_stats, "sp_med"), 5),
+        "spectrum_rel_med_chaos_control": round(med(ctrl_stats, "sp_med"), 5),
+        "traj_l2_final_over_vscale": round(float(traj_l2[-1] / vscale), 5),
+        "backend": jax.default_backend(),
+        "secs": round(time.time() - t0, 1),
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+
+
+if __name__ == "__main__":
+    rec = run_study()
+    print(json.dumps(rec))
+    with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
