@@ -123,15 +123,22 @@ def _run_grid_sweep(out_dir, sim_batch_fn, axis_a, axis_b, num_frames,
 def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
                       num_frames: int = 200, height: int = 128,
                       width: int = 96, name: str | None = None,
-                      scene_batch: int = 0) -> str:
+                      scene_batch: int = 0,
+                      projection: str = "jacobi") -> str:
     """2D smoke plume: source x-position x source radius grid.
 
     Reference scene smoke_pos21_size5 (SURVEY §2): 21 x 5 x 200 frames on a
     128x96 grid; params p = [pos_x, radius, frame].
+
+    projection="matched" generates frames ON the generator's manifold
+    (discrete Leray projection, datagen/projection.py) — the round-3 fix
+    for the solver-noise quality floor; "jacobi" reproduces the legacy
+    datasets.
     """
     name = name or f"smoke_pos{num_pos}_size{num_size}"
     out_dir = os.path.join(out_root, name)
-    cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames)
+    cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames,
+                        projection=projection)
     positions = np.linspace(0.2, 0.8, num_pos)
     radii = np.linspace(0.04, 0.12, num_size)
 
@@ -161,7 +168,7 @@ def smoke_pos21_size5(out_root: str, num_pos: int = 21, num_size: int = 5,
 
 def smoke_mov(out_root: str, num_scenes: int = 200, num_frames: int = 400,
               height: int = 128, width: int = 96, seed: int = 0,
-              name: str | None = None) -> str:
+              name: str | None = None, projection: str = "jacobi") -> str:
     """2D moving-source smoke (reference smoke_mov200_f400, SURVEY §2).
 
     Source x-position follows a smooth random walk per scene; params
@@ -170,7 +177,8 @@ def smoke_mov(out_root: str, num_scenes: int = 200, num_frames: int = 400,
     name = name or f"smoke_mov{num_scenes}_f{num_frames}"
     out_dir = os.path.join(out_root, name)
     _fresh_field_dirs(out_dir, ("v", "d"))
-    cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames)
+    cfg = Smoke2DConfig(height=height, width=width, num_frames=num_frames,
+                        projection=projection)
     rng = np.random.default_rng(seed)
     radius = 0.08
     sb = _auto_scene_batch(10)

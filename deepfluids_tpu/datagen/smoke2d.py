@@ -26,11 +26,18 @@ class Smoke2DConfig:
     buoyancy: float = 0.08      # upward force per unit density
     source_rate: float = 1.0    # density injected per step inside source
     project_iters: int = 50
-    projection: str = "jacobi"  # "jacobi" (production, project_iters sweeps)
-                                # | "cg" (converged reference solve — the
+    projection: str = "jacobi"  # "jacobi" (legacy default, project_iters
+                                # central-difference sweeps)
+                                # | "cg" (converged central solve — the
                                 # solver-consistency oracle; see
                                 # tools/solver_consistency.py)
+                                # | "matched" (discrete Leray projection
+                                # onto the GENERATOR'S manifold,
+                                # projection.project_curl2d — frames are
+                                # exactly curl(ψ), zero wall through-flow;
+                                # the round-3 data-quality fix)
     cg_tol: float = 1e-6
+    mg_cycles: int = 8          # V-cycles for projection="matched"
 
 
 def _source_mask(h: int, w: int, pos_x: jnp.ndarray, radius: jnp.ndarray,
@@ -56,11 +63,19 @@ def step(state, src_mask, cfg: Smoke2DConfig):
     rho = grids.advect2d(rho, vel, cfg.dt)
     vel = grids.advect2d(vel, vel, cfg.dt)
     vel = grids.wall_bc2d(vel)
-    if cfg.projection == "cg":
+    if cfg.projection == "matched":
+        # Leray projection onto the generator's manifold: the result is
+        # exactly curl(ψ) with zero wall through-flow, so NO trailing
+        # wall_bc — it would push the frame off-manifold again (the ~25%
+        # irreducible-error mechanism this mode exists to remove).
+        from deepfluids_tpu.datagen import projection
+        vel = projection.project_curl2d(vel, cycles=cfg.mg_cycles)
+    elif cfg.projection == "cg":
         vel = grids.pressure_project2d_cg(vel, tol=cfg.cg_tol)
+        vel = grids.wall_bc2d(vel)
     else:
         vel = grids.pressure_project2d(vel, cfg.project_iters)
-    vel = grids.wall_bc2d(vel)
+        vel = grids.wall_bc2d(vel)
     return vel, rho
 
 
