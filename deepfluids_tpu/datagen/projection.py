@@ -50,6 +50,7 @@ f32 floor (~8e-4 relative) at 128×96.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -148,27 +149,61 @@ def curl_ls_operator(shape: tuple[int, ...], dtype):
     return B
 
 
+def _curl3_adj(v: jnp.ndarray) -> jnp.ndarray:
+    """Jᵀ for the 3D curl (u = T_y c - T_z b, v = T_z a - T_x c,
+    w = T_x b - T_y a):  a ← T_zᵀu_v - T_yᵀw;  b ← T_xᵀw - T_zᵀu;
+    c ← T_yᵀu - T_xᵀv.  Verified against jax.vjp in tests."""
+    u, vv, w = v[..., 0], v[..., 1], v[..., 2]
+    a = _fdiff_adj(vv, axis=-3) - _fdiff_adj(w, axis=-2)
+    b = _fdiff_adj(w, axis=-1) - _fdiff_adj(u, axis=-3)
+    c = _fdiff_adj(u, axis=-2) - _fdiff_adj(vv, axis=-1)
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def curl3_ls_operator(shape: tuple[int, ...], dtype):
+    """3D analogue of :func:`curl_ls_operator` on Ψ [D, H, W, 3] with a
+    zero-Dirichlet SHELL on all three vector-potential components (⇒ zero
+    wall-normal flow: tangential derivatives of a vanishing face are zero).
+    Unlike 2D the normal operator is only semidefinite — gauge fields
+    Ψ = ∇φ are invisible to the curl — but the RHS JᵀV is always
+    compatible, the smoother's null drift is bounded, the coarsest pinv
+    cuts the null space off, and any residual null component is annihilated
+    by the final curl anyway (only curl(Ψ) is returned)."""
+    m = _ring_mask(shape[:-1], dtype)[..., None]
+
+    def B(psi):
+        return m * _curl3_adj(fd.curl3d(m * psi)) + (1.0 - m) * psi
+    return B
+
+
 # ---------------------------------------------------------------------------
 # Variational geometric multigrid core
 # ---------------------------------------------------------------------------
 
-def _op_diag(Afn, shape: tuple[int, ...], dtype, stride: int = 4
-             ) -> jnp.ndarray:
+def _op_diag(Afn, shape: tuple[int, ...], dtype,
+             strides: tuple[int, ...] | None = None) -> jnp.ndarray:
     """Exact diagonal of a short-reach linear operator by stride-color
     probing: sum_c A(chi_c) * chi_c is exact when same-color cells are
-    never coupled.  The fine operators have reach 2; Galerkin coarse
-    operators reach ~3.  Plain red/black 2-coloring silently corrupts
-    boundary diagonals here and blows up the smoother (measured 4.7×/cycle
-    divergence); stride 4+ covers every level, dense-verified in tests."""
+    never coupled.  The fine operators have reach 2 along spatial axes;
+    Galerkin coarse operators reach ~3.  Plain red/black 2-coloring
+    silently corrupts boundary diagonals here and blows up the smoother
+    (measured 4.7×/cycle divergence); spatial stride 4 covers every level,
+    dense-verified in tests.  A channel axis (the 3D vector potential)
+    couples any-to-any, so its stride must equal its size — pass per-axis
+    ``strides`` for that."""
     ndim = len(shape)
+    strides = strides or (4,) * ndim
     grids_idx = jnp.meshgrid(*[jnp.arange(n) for n in shape], indexing="ij")
+    ncolors = 1
+    for st in strides:
+        ncolors *= st
     diag = jnp.zeros(shape, dtype)
-    for color in range(stride ** ndim):
+    for color in range(ncolors):
         mask = jnp.ones(shape, bool)
         c = color
         for d in range(ndim):
-            mask = mask & ((grids_idx[d] % stride) == (c % stride))
-            c //= stride
+            mask = mask & ((grids_idx[d] % strides[d]) == (c % strides[d]))
+            c //= strides[d]
         e = mask.astype(dtype)
         diag = diag + Afn(e) * e
     return diag
@@ -220,11 +255,14 @@ def _chunked_probe(Afn, shape, dtype, chunk: int = 64) -> jnp.ndarray:
 
 
 # Registered fine-grid operators the MG core can solve.
-# name -> (factory(shape, dtype) -> A_fn, has_corner_null)
+# name -> (factory(shape, dtype) -> A_fn, has_corner_null, has_channel_axis)
+# has_channel_axis: the last axis is a component axis (3D vector
+# potential) — never coarsened, colored densely in the diag probe.
 _OPERATORS = {
     "div_lap": (lambda shape, dtype:
-                (lambda p: matched_laplacian(p, len(shape))), True),
-    "curl_ls": (curl_ls_operator, False),
+                (lambda p: matched_laplacian(p, len(shape))), True, False),
+    "curl_ls": (curl_ls_operator, False, False),
+    "curl3_ls": (curl3_ls_operator, False, True),
 }
 
 
@@ -236,22 +274,40 @@ def _mg_setup(op_name: str, shape: tuple[int, ...], dtype_name: str,
     arrays (per-level diagonals, the coarsest pinv, the null vector) are
     small constants folded into the jitted datagen program."""
     dtype = jnp.dtype(dtype_name)
-    factory, has_null = _OPERATORS[op_name]
+    factory, has_null, has_chan = _OPERATORS[op_name]
     # The first call may come from inside a jit trace (the datagen scan);
     # run the WHOLE build — including the operator factory, whose closures
     # capture mask/constant arrays — under compile-time eval so the cache
-    # holds concrete arrays, not tracers.
-    with jax.ensure_compile_time_eval():
+    # holds concrete arrays, not tracers.  Pin the eager build to the host
+    # CPU backend when one is available: through the axon tunnel every
+    # eager op costs ~27 ms RPC, and the 3D build (192-color diag probes x
+    # 4 levels + power iterations + the dense coarse probe) is thousands of
+    # eager ops — minutes on the tunnel, ~seconds on host.  The produced
+    # constants fold into the TPU program at lowering regardless.
+    try:
+        cpu = jax.devices("cpu")[0]
+        dev_ctx = jax.default_device(cpu)
+    except RuntimeError:
+        dev_ctx = contextlib.nullcontext()
+    with jax.ensure_compile_time_eval(), dev_ctx:
         A0 = factory(shape, dtype)
 
+        def coarsen(sh):
+            sp = sh[:-1] if has_chan else sh
+            if not _coarsenable(sp, min_coarse_cells):
+                return None
+            sp = tuple(n // 2 for n in sp)
+            return sp + (sh[-1],) if has_chan else sp
+
         shapes = [shape]
-        while _coarsenable(shapes[-1], min_coarse_cells):
-            shapes.append(tuple(n // 2 for n in shapes[-1]))
+        while (nxt := coarsen(shapes[-1])) is not None:
+            shapes.append(nxt)
 
-        return _mg_build(op_name, shape, dtype, has_null, A0, shapes)
+        return _mg_build(op_name, shape, dtype, has_null, has_chan, A0,
+                         shapes)
 
 
-def _mg_build(op_name, shape, dtype, has_null, A0, shapes):
+def _mg_build(op_name, shape, dtype, has_null, has_chan, A0, shapes):
     def make_A(level):
         def A(e):
             # prolong through every finer level, apply the fine operator,
@@ -268,19 +324,46 @@ def _mg_build(op_name, shape, dtype, has_null, A0, shapes):
         return A
 
     A_fns = [make_A(lv) for lv in range(len(shapes))]
-    diags = [_op_diag(A_fns[lv], shapes[lv], dtype)
+
+    def strides_for(sh):
+        if not has_chan:
+            return (4,) * len(sh)
+        return (4,) * (len(sh) - 1) + (sh[-1],)
+
+    diags = [_op_diag(A_fns[lv], shapes[lv], dtype, strides_for(shapes[lv]))
              for lv in range(len(shapes) - 1)]
-    dense = _chunked_probe(A_fns[-1], shapes[-1], dtype)
+    # Per-level damping from a measured lambda_max of diag^-1 A: the safe
+    # bound is omega < 2/lambda_max, and lambda_max is operator- and
+    # dimension-dependent (2.41 for the 2D operators, 2.96 for the 3D curl
+    # normal operator — a fixed 0.7/0.8 diverges there).
+    import numpy as _np
+
+    def _lambda_max(Afn, diag, sh):
+        x = jnp.asarray(_np.random.default_rng(0).standard_normal(sh), dtype)
+        for _ in range(60):
+            x = Afn(x) / diag
+            x = x / jnp.linalg.norm(x)
+        return float(jnp.vdot(x, Afn(x) / diag))
+
+    omegas = [min(0.9, 1.5 / _lambda_max(A_fns[lv], diags[lv], shapes[lv]))
+              for lv in range(len(shapes) - 1)]
+    fine_cells = 1
+    for n in shape:
+        fine_cells *= n
+    # bound the probe batch's fine-grid transient to ~128 MB
+    chunk = int(min(64, max(8, (32 * 1024 * 1024) // max(fine_cells, 1))))
+    dense = _chunked_probe(A_fns[-1], shapes[-1], dtype, chunk=chunk)
     pinv = jnp.asarray(
         jnp.linalg.pinv(dense.astype(jnp.float64)
                         if jax.config.jax_enable_x64 else dense,
                         rtol=1e-6), dtype)
     return {"shapes": shapes, "A_fns": A_fns, "diags": diags, "pinv": pinv,
+            "omegas": omegas,
             "null": _null_vector(shape, dtype) if has_null else None}
 
 
 def _vcycle(b: jnp.ndarray, x: jnp.ndarray, setup: dict, level: int,
-            nu: int = 2, omega: float = 0.7) -> jnp.ndarray:
+            nu: int = 2) -> jnp.ndarray:
     """One V(nu,nu)-cycle on the variational hierarchy (recursion unrolled
     at trace time; coarsest level solved exactly via the probed pinv)."""
     shapes, A_fns = setup["shapes"], setup["A_fns"]
@@ -291,6 +374,7 @@ def _vcycle(b: jnp.ndarray, x: jnp.ndarray, setup: dict, level: int,
         return x + e
 
     diag = setup["diags"][level]
+    omega = setup["omegas"][level]
 
     def smooth(x, n):
         for _ in range(n):
@@ -302,7 +386,7 @@ def _vcycle(b: jnp.ndarray, x: jnp.ndarray, setup: dict, level: int,
     rc = jax.linear_transpose(
         lambda q: jax.image.resize(q, shapes[level], method="linear"),
         jnp.zeros(shapes[level + 1], b.dtype))(r)[0]
-    ec = _vcycle(rc, jnp.zeros_like(rc), setup, level + 1, nu, omega)
+    ec = _vcycle(rc, jnp.zeros_like(rc), setup, level + 1, nu)
     x = x + jax.image.resize(ec, shapes[level], method="linear")
     return smooth(x, nu)
 
@@ -333,6 +417,20 @@ def project_matched(vel: jnp.ndarray, cycles: int = 10) -> jnp.ndarray:
     ndim = vel.shape[-1]
     p = solve_matched(div_f(vel), cycles=cycles)
     return vel - div_f_adj(p, ndim)
+
+
+def project_curl3d(vel: jnp.ndarray, cycles: int = 10,
+                   return_psi: bool = False):
+    """3D discrete Leray projection of vel [D, H, W, 3]: least-squares fit
+    of a vector potential with Ψ ≡ 0 on the boundary shell, returning
+    curl3d(Ψ) — exactly on the 3D generator's manifold with zero wall
+    through-flow (see :func:`curl3_ls_operator` for the gauge story)."""
+    spatial = vel.shape[:-1]
+    m = _ring_mask(spatial, vel.dtype)[..., None]
+    b = m * _curl3_adj(vel)
+    psi = m * _mg_solve("curl3_ls", b, cycles)
+    out = fd.curl3d(psi)
+    return (out, psi) if return_psi else out
 
 
 def project_curl2d(vel: jnp.ndarray, cycles: int = 10,

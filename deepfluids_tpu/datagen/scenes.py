@@ -266,13 +266,18 @@ def liquid_pos10_size4(out_root: str, num_pos: int = 10, num_size: int = 4,
 
 def smoke3_vel5_buo3(out_root: str, num_vel: int = 5, num_buo: int = 3,
                      num_frames: int = 250, depth: int = 32, height: int = 64,
-                     width: int = 112, name: str | None = None) -> str:
+                     width: int = 112, name: str | None = None,
+                     projection: str = "jacobi") -> str:
     """3D smoke: inflow velocity x buoyancy grid (reference
-    smoke3_vel5_buo3_f250, SURVEY §2); grid [D,H,W] = [32,64,112]."""
+    smoke3_vel5_buo3_f250, SURVEY §2); grid [D,H,W] = [32,64,112].
+
+    projection="matched" generates frames ON the 3D generator's manifold
+    (datagen/projection.py) — the round-3 data-quality fix.
+    """
     name = name or f"smoke3_vel{num_vel}_buo{num_buo}"
     out_dir = os.path.join(out_root, name)
     cfg = Smoke3DConfig(depth=depth, height=height, width=width,
-                        num_frames=num_frames)
+                        num_frames=num_frames, projection=projection)
     vels = np.linspace(0.5, 1.5, num_vel)
     buos = np.linspace(0.04, 0.12, num_buo)
 

@@ -25,6 +25,15 @@ class Smoke3DConfig:
     dt: float = 1.0
     source_rate: float = 1.0
     project_iters: int = 40
+    projection: str = "jacobi"  # "jacobi" (legacy) | "matched" (discrete
+                                # Leray projection onto range(curl3d) —
+                                # datagen/projection.py; the round-3 data-
+                                # quality fix, median frame distance to the
+                                # generator manifold 0.16 -> ~1e-2)
+    mg_cycles: int = 16         # V-cycles for projection="matched" (the 3D
+                                # curl normal operator is semidefinite —
+                                # gauge modes — and converges ~0.7x/cycle
+                                # vs 0.15x in 2D, so it needs more cycles)
 
 
 def _source_mask3(d, h, w):
@@ -51,8 +60,15 @@ def _step3(state, inflow_vel, buoyancy, mask, cfg: Smoke3DConfig):
     rho = grids.advect3d(rho, vel, cfg.dt)
     vel = grids.advect3d(vel, vel, cfg.dt)
     vel = grids.wall_bc3d(vel)
-    vel = grids.pressure_project3d(vel, cfg.project_iters)
-    vel = grids.wall_bc3d(vel)
+    if cfg.projection == "matched":
+        # Leray projection onto range(curl3d): zero wall through-flow by
+        # construction, so no trailing wall_bc (it would knock the frame
+        # off the generator manifold — the error this mode removes).
+        from deepfluids_tpu.datagen import projection
+        vel = projection.project_curl3d(vel, cycles=cfg.mg_cycles)
+    else:
+        vel = grids.pressure_project3d(vel, cfg.project_iters)
+        vel = grids.wall_bc3d(vel)
     return (vel, rho), (vel, rho)
 
 

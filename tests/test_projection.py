@@ -152,3 +152,47 @@ class TestMatchedSmokeScene:
         # plume still rises: upward KE grows
         ke = np.asarray((vt ** 2).sum(axis=(1, 2, 3)))
         assert ke[-1] > ke[1]
+
+
+class TestProjectCurl3D:
+    def test_curl3_adjoint(self):
+        psi = _rand((6, 8, 10, 3), 12)
+        v = _rand((6, 8, 10, 3), 13)
+        lhs = jnp.vdot(fd.curl3d(psi), v)
+        rhs = jnp.vdot(psi, prj._curl3_adj(v))
+        assert abs(float(lhs - rhs)) < 1e-3 * abs(float(lhs)) + 1e-5
+
+    def test_on_manifold_walls_and_near_idempotent(self):
+        vel = _rand((12, 16, 16, 3), 14)
+        out, psi = prj.project_curl3d(vel, cycles=12, return_psi=True)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(fd.curl3d(psi)), atol=1e-6)
+        o = np.asarray(out)
+        assert np.abs(o[:, :, 0, 0]).max() == 0    # x-walls: u = 0
+        assert np.abs(o[:, :, -1, 0]).max() == 0
+        assert np.abs(o[:, 0, :, 1]).max() == 0    # y-walls: v = 0
+        assert np.abs(o[:, -1, :, 1]).max() == 0
+        assert np.abs(o[0, :, :, 2]).max() == 0    # z-walls: w = 0
+        assert np.abs(o[-1, :, :, 2]).max() == 0
+        out2 = prj.project_curl3d(out, cycles=12)
+        rel = float(jnp.linalg.norm(out2 - out) / jnp.linalg.norm(out))
+        # semidefinite system (gauge modes): near- rather than exactly
+        # idempotent at finite cycles
+        assert rel < 0.05
+        assert float(jnp.linalg.norm(out)) <= float(jnp.linalg.norm(vel))
+
+
+class TestMatchedSmoke3DScene:
+    def test_trajectory_on_manifold(self):
+        from deepfluids_tpu.datagen.smoke3d import (Smoke3DConfig,
+                                                    simulate_smoke3d)
+
+        cfg = Smoke3DConfig(depth=8, height=16, width=16, num_frames=6,
+                            projection="matched", mg_cycles=10)
+        vt, rt = simulate_smoke3d(jnp.float32(1.0), jnp.float32(0.08), cfg)
+        assert bool(jnp.isfinite(vt).all())
+        d = np.asarray(fd.divergence3d(vt[-1]))
+        v_rms = float(np.sqrt((np.asarray(vt[-1]) ** 2).mean()))
+        assert np.abs(d).max() < 0.05 * max(v_rms, 1e-6)
+        ke = np.asarray((vt ** 2).sum(axis=(1, 2, 3, 4)))
+        assert ke[-1] > ke[1]
