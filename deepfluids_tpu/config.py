@@ -232,7 +232,17 @@ def get_parser() -> argparse.ArgumentParser:
 
 def get_config(argv: Optional[list[str]] = None) -> Config:
     ns = get_parser().parse_args(argv)
-    return Config(**vars(ns))
+    cfg = Config(**vars(ns))
+    # Record which flags were EXPLICITLY given (parse again with every
+    # default suppressed — argparse then only sets attributes it saw).
+    # merge_test_config needs this to honor an override whose value
+    # happens to equal the dataclass default (e.g. turning a saved
+    # --num_model_shards 2 back down to the default 1 at test time).
+    sup = get_parser()
+    for a in sup._actions:
+        a.default = argparse.SUPPRESS
+    cfg._explicit_flags = frozenset(vars(sup.parse_args(argv)))
+    return cfg
 
 
 def save_config(config: Config, run_dir: str) -> str:
@@ -262,20 +272,25 @@ def merge_test_config(cli: Config, run_dir: str) -> Config:
     with non-default ``--filters``/``--decoder`` would otherwise build a
     mismatched model and fail checkpoint restore (and, through slow
     runtimes, orbax renders that structure diff at ~repr-per-array cost,
-    which looks like a hang — observed on the axon tunnel).  CLI flags
-    that differ from the dataclass defaults win (so ``--test_counts``,
-    ``--test_frames`` etc. still work); everything else comes from the
-    run's params.json.  Returns ``cli`` unchanged if the run dir has no
-    params.json.
+    which looks like a hang — observed on the axon tunnel).  Flags that
+    were EXPLICITLY passed on the command line win (get_config records
+    them in ``_explicit_flags``, so an override whose value equals the
+    dataclass default — e.g. ``--num_model_shards 1`` on a TP-trained
+    run — still applies); for Configs built directly in code the
+    fallback is the value-differs-from-default heuristic.  Everything
+    else comes from the run's params.json.  Returns ``cli`` unchanged if
+    the run dir has no params.json.
     """
     try:
         saved = load_config(run_dir)
     except FileNotFoundError:
         return cli
+    explicit = getattr(cli, "_explicit_flags", None)
     default = Config()
     for f in dataclasses.fields(Config):
         v = getattr(cli, f.name)
-        if v != getattr(default, f.name):
+        if (f.name in explicit if explicit is not None
+                else v != getattr(default, f.name)):
             setattr(saved, f.name, v)
     saved.is_train = cli.is_train
     saved.load_path = cli.load_path

@@ -143,10 +143,13 @@ class BatchManager:
         # the identity and the batch stream is bit-identical to always.
         keys = self.ds.scene_keys
         distinct = sorted(set(keys))
-        if holdout_scenes >= len(distinct):
+        if holdout_scenes < 0 or holdout_scenes >= len(distinct):
+            # A negative value would silently become a near-total holdout
+            # via the distinct[-N:] slice (e.g. -1 -> all but one scene).
             raise ValueError(
-                f"eval_holdout_scenes={holdout_scenes} but dataset has only "
-                f"{len(distinct)} scenes")
+                f"eval_holdout_scenes={holdout_scenes} must be in "
+                f"[0, {len(distinct)}) for this {len(distinct)}-scene "
+                "dataset")
         held = set(distinct[-holdout_scenes:]) if holdout_scenes else set()
         self.train_indices = np.array(
             [i for i, k in enumerate(keys) if k not in held], np.int32)

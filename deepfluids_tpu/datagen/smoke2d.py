@@ -39,6 +39,15 @@ class Smoke2DConfig:
     cg_tol: float = 1e-6
     mg_cycles: int = 8          # V-cycles for projection="matched"
 
+    def __post_init__(self):
+        # A typo like projection='Matched' would otherwise silently fall
+        # through to the Jacobi branch and regenerate hours of frames
+        # off-manifold (the exact silent-default class _str2bool guards).
+        if self.projection not in ("jacobi", "cg", "matched"):
+            raise ValueError(
+                f"projection={self.projection!r}: expected one of "
+                "'jacobi', 'cg', 'matched'")
+
 
 def _source_mask(h: int, w: int, pos_x: jnp.ndarray, radius: jnp.ndarray,
                  pos_y: jnp.ndarray) -> jnp.ndarray:

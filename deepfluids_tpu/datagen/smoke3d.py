@@ -35,6 +35,14 @@ class Smoke3DConfig:
                                 # gauge modes — and converges ~0.7x/cycle
                                 # vs 0.15x in 2D, so it needs more cycles)
 
+    def __post_init__(self):
+        # Reject typos loudly instead of silently generating off-manifold
+        # frames with the legacy Jacobi branch (see Smoke2DConfig).
+        if self.projection not in ("jacobi", "matched"):
+            raise ValueError(
+                f"projection={self.projection!r}: expected "
+                "'jacobi' or 'matched'")
+
 
 def _source_mask3(d, h, w):
     """Soft spherical source near the bottom center."""

@@ -292,12 +292,16 @@ class GeneratorBE(nn.Module):
 
         act = lambda v: nn.leaky_relu(v, negative_slope=self.act_slope)
 
+        z_raw = z   # the grid interpolates the RAW parameter vector: its
+        # table is (knots,)**P, so feeding the fourier-EMBEDDED vector
+        # would exponentiate the table size by (2*bands+1) — with
+        # embed_bands=0 (the default) raw and embedded coincide.
         z = fourier_embed(z, self.embed_bands)
         grid_on = self.grid_levels > 0 and self.grid_features > 0
         if grid_on:
             z = jnp.concatenate(
                 [z, MultiResParamGrid(self.grid_levels, self.grid_features,
-                                      name="param_grid")(z)], axis=-1)
+                                      name="param_grid")(z_raw)], axis=-1)
         x = nn.Dense(int(np.prod(coarse)) * self.filters, dtype=self.dtype,
                      name="fc_in")(z.astype(self.dtype))
         x = x.reshape((-1,) + coarse + (self.filters,))

@@ -139,10 +139,18 @@ def _local_rows(sharding: NamedSharding, a: np.ndarray) -> np.ndarray:
 
     ``jax.devices()`` orders devices by process, so under P("data") each
     process owns a contiguous block of rows; gather exactly those (in
-    device order) from the replicated host copy."""
+    device order) from the replicated host copy.  When the sharding also
+    REPLICATES over another mesh axis (a data x model mesh), several
+    local devices map to the SAME row-slice — deduplicate, because
+    make_array_from_process_local_data wants each local shard once."""
     idx_map = sharding.addressable_devices_indices_map(a.shape)
-    rows = [a[idx] for _, idx in sorted(
-        idx_map.items(), key=lambda kv: kv[0].id)]
+    rows, seen = [], set()
+    for _, idx in sorted(idx_map.items(), key=lambda kv: kv[0].id):
+        key = tuple((s.start, s.stop, s.step) for s in idx)
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append(a[idx])
     return np.concatenate(rows) if rows else a[:0]
 
 

@@ -93,6 +93,14 @@ class Trainer:
                 raise ValueError(
                     "--input_pipeline grain streams batches; it cannot "
                     "feed --device_data_cache (which gathers on device)")
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "--input_pipeline grain is single-host only: its "
+                    "per-host sharded stream yields host-LOCAL batches, "
+                    "but the multi-host train step consumes the "
+                    "globally-identical (seed, step) stream placed by "
+                    "shard_batch_multihost.  Use the native pipeline "
+                    "for multi-host runs.")
         if config.decoder == "grid" and config.arch != "de":
             raise ValueError("--decoder grid applies to arch de (the "
                              "parameterized generator)")
@@ -465,8 +473,8 @@ class Trainer:
         from deepfluids_tpu.data.grain_loader import make_grain_loader
 
         if start_step:
-            log.info("grain resume: replaying %d batches to position",
-                     start_step)
+            log.info("grain resume: sampler-state skip of %d batches "
+                     "(decode-free)", start_step)
         field_key = "l" if self.c.data_type == "levelset" else "v"
         it = make_grain_loader(
             self.c.dataset_dir, self.c.batch_size, seed=self.c.seed,
@@ -475,8 +483,9 @@ class Trainer:
             shard_index=jax.process_index(),
             shard_count=jax.process_count(),
             indices=(self.bm.train_indices
-                     if self.c.eval_holdout_scenes else None))
-        yield from itertools.islice(it, start_step, start_step + num_steps)
+                     if self.c.eval_holdout_scenes else None),
+            skip_batches=start_step)
+        yield from itertools.islice(it, num_steps)
 
     # ------------------------------------------------------------------
     # hang watchdog (SURVEY.md §5 "failure detection": observed failure

@@ -20,6 +20,17 @@ from deepfluids_tpu.datagen.grids import divergence2d_c, divergence3d_c
 
 
 class TestSmoke2DSolver:
+    def test_projection_typo_rejected(self):
+        # 'Matched'/'leray' must fail at construction, not silently fall
+        # through to the Jacobi branch and generate off-manifold frames.
+        import pytest as _pytest
+
+        for bad in ("Matched", "leray", "matchd"):
+            with _pytest.raises(ValueError, match="projection"):
+                Smoke2DConfig(projection=bad)
+            with _pytest.raises(ValueError, match="projection"):
+                Smoke3DConfig(projection=bad)
+
     def test_plume_rises_and_projects(self):
         cfg = Smoke2DConfig(height=48, width=32, num_frames=12,
                             project_iters=30)
@@ -226,6 +237,27 @@ class TestGrainLoader:
         rows = lambda arr: {tuple(np.round(r, 5)) for r in arr}
         assert not rows(a1) & rows(b)          # shards see disjoint records
         assert len(rows(a1) | rows(b)) == 16   # and cover the epoch
+
+    @pytest.mark.parametrize("worker_count", [0, 2])
+    def test_grain_skip_matches_fresh_tail(self, tiny_smoke_dataset,
+                                           worker_count):
+        # Decode-free resume: skip_batches=k must reproduce the fresh
+        # stream from batch k exactly (the supervisor's cheap-resume
+        # contract for --input_pipeline grain).
+        pytest.importorskip("grain")
+        from deepfluids_tpu.data.grain_loader import make_grain_loader
+
+        def stream(skip):
+            it = make_grain_loader(tiny_smoke_dataset, batch_size=4, seed=0,
+                                   num_epochs=1, worker_count=worker_count,
+                                   skip_batches=skip)
+            return list(it)
+
+        fresh, resumed = stream(0), stream(2)
+        assert len(fresh) == 4 and len(resumed) == 2
+        for (xf, yf), (xr, yr) in zip(fresh[2:], resumed):
+            np.testing.assert_array_equal(xf, xr)
+            np.testing.assert_array_equal(yf, yr)
 
 
 class TestMovScene:

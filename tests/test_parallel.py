@@ -298,3 +298,22 @@ class TestSpatialLossKnobs:
                     relative=relative, norm=norm)
                 np.testing.assert_allclose(float(sp), float(ref), rtol=1e-5,
                                            err_msg=f"{relative=} {norm=}")
+
+
+class TestMultihostPlacement:
+    def test_local_rows_dedup_on_data_model_mesh(self):
+        """shard_batch_multihost on a data x model mesh: P("data")
+        replicates rows over the model axis, so several local devices map
+        to the SAME row slice — the local gather must deduplicate or
+        make_array_from_process_local_data sees a 2x-too-large local
+        array (single-process here, but the index map logic is shared)."""
+        from deepfluids_tpu.parallel.mesh import shard_batch_multihost
+
+        mesh = make_mesh(num_data=4, num_model=2)
+        a = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+        out = shard_batch_multihost(mesh, a)
+        np.testing.assert_array_equal(np.asarray(out), a)
+        # and on the pure-data mesh it still round-trips
+        mesh1 = make_mesh(num_data=8, num_model=1)
+        out1 = shard_batch_multihost(mesh1, a)
+        np.testing.assert_array_equal(np.asarray(out1), a)

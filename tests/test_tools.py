@@ -57,7 +57,9 @@ def _make_fixture(tmp_path, scene="0", other_scene="10", T=8, res=(4, 6),
 class TestRolloutEval:
     def test_metric_matches_hand_computation(self, tmp_path, monkeypatch):
         run, l2 = _make_fixture(tmp_path, drift=0.05)
-        monkeypatch.chdir(tmp_path)  # BENCHMARKS.jsonl lands in tmp
+        # ROOT anchors BENCHMARKS.jsonl and relative data_dir resolution;
+        # point it at tmp so the repo log is untouched.
+        monkeypatch.setattr(rollout_eval, "ROOT", str(tmp_path))
         rec = rollout_eval.main([run, "unit test"])
         assert rec["metric"] == "rollout_field_l2"
         assert rec["scene"] == "0"
@@ -77,9 +79,25 @@ class TestRolloutEval:
 
     def test_perfect_rollout_scores_zero(self, tmp_path, monkeypatch):
         run, _ = _make_fixture(tmp_path, drift=0.0)
-        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(rollout_eval, "ROOT", str(tmp_path))
         rec = rollout_eval.main([run])
         assert rec["l2_median"] == 0.0 and rec["l2_max"] == 0.0
+
+    def test_relative_data_dir_resolves_against_root(self, tmp_path,
+                                                     monkeypatch):
+        run, l2 = _make_fixture(tmp_path)
+        # Rewrite params.json with the production-default relative
+        # data_dir; resolution must go through ROOT, not cwd.
+        p = os.path.join(run, "params.json")
+        with open(p) as f:
+            d = json.load(f)
+        d["data_dir"] = "data"
+        with open(p, "w") as f:
+            json.dump(d, f)
+        monkeypatch.setattr(rollout_eval, "ROOT", str(tmp_path))
+        monkeypatch.chdir(tmp_path / "logs")  # anywhere but ROOT
+        rec = rollout_eval.main([run])
+        assert rec["l2_median"] == pytest.approx(np.median(l2), abs=1e-4)
 
     def test_horizon_clips_to_shorter_side(self, tmp_path, monkeypatch):
         run, _ = _make_fixture(tmp_path, T=8)
@@ -87,6 +105,6 @@ class TestRolloutEval:
         p = os.path.join(run, "test", "rollout.npz")
         with np.load(p) as d:
             np.savez_compressed(p, z=d["z"][:5], x=d["x"][:5])
-        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(rollout_eval, "ROOT", str(tmp_path))
         rec = rollout_eval.main([run])
         assert rec["rollout_steps"] == 5

@@ -182,6 +182,30 @@ class TestConfig:
         c2 = load_config(str(tmp_path))
         assert c2 == c
 
+    def test_merge_applies_default_valued_explicit_override(self, tmp_path):
+        # A TP-trained run saves num_model_shards=2; testing it on one
+        # chip needs --num_model_shards 1 to STICK even though 1 equals
+        # the dataclass default (get_config records explicit flags).
+        from deepfluids_tpu.config import get_config, merge_test_config
+
+        save_config(Config(num_model_shards=2, filters=7), str(tmp_path))
+        cli = get_config(["--is_train", "false",
+                          "--load_path", str(tmp_path),
+                          "--num_model_shards", "1"])
+        merged = merge_test_config(cli, str(tmp_path))
+        assert merged.num_model_shards == 1   # explicit CLI wins
+        assert merged.filters == 7            # untouched flags from the run
+        assert not merged.is_train
+
+    def test_merge_keeps_saved_flags_without_explicit_cli(self, tmp_path):
+        from deepfluids_tpu.config import get_config, merge_test_config
+
+        save_config(Config(num_model_shards=2, filters=7), str(tmp_path))
+        cli = get_config(["--is_train", "false",
+                          "--load_path", str(tmp_path)])
+        merged = merge_test_config(cli, str(tmp_path))
+        assert merged.num_model_shards == 2 and merged.filters == 7
+
 
 class TestTrainerDE:
     def test_loss_decreases_and_metrics(self, tiny_dataset, tmp_path):
@@ -644,6 +668,15 @@ class TestEvalHoldout:
             BatchManager(os.path.join(tiny_dataset, "tiny_smoke"), 8,
                          holdout_scenes=4)
 
+    def test_holdout_negative_raises(self, tiny_dataset, tmp_path):
+        # -1 would otherwise silently hold out all-but-one scene via the
+        # distinct[-N:] slice and train on a single scene.
+        from deepfluids_tpu.data.dataset import BatchManager
+
+        with pytest.raises(ValueError, match="holdout"):
+            BatchManager(os.path.join(tiny_dataset, "tiny_smoke"), 8,
+                         holdout_scenes=-1)
+
     def test_trainer_evaluates_holdout(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="hold",
                         eval_holdout_scenes=1, device_data_cache=True,
@@ -781,6 +814,20 @@ class TestGridDecoder:
         assert float(np.abs(np.asarray(t.state.params["basis_0"])).max()) > 0
         ev = t.evaluate(num_samples=8)
         assert np.isfinite(ev["l2_median"])
+
+    def test_grid_interpolates_raw_params_under_embed_bands(self):
+        # The grid tables are (knots,)**P — they must see the RAW P-dim
+        # parameter vector, not the fourier-embedded one, or embed_bands>0
+        # exponentiates the table size (P=3, bands=2 -> (knots,)**15).
+        from deepfluids_tpu.models.generator import GeneratorBE
+
+        m = GeneratorBE(output_shape=(16, 16, 1), filters=4, num_conv=1,
+                        repeat=2, embed_bands=2, grid_levels=2,
+                        grid_features=2, grid_rank=2)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))["params"]
+        for lvl in range(2):
+            t = p["param_grid"][f"grid_{lvl}"]
+            assert t.ndim == 4 and t.shape[:-1] == (2 * 2 ** lvl + 1,) * 3
 
     def test_grid_decoder_rejected_for_ae(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="gridae",

@@ -27,7 +27,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 from deepfluids_tpu.config import load_config  # noqa: E402
 
@@ -44,7 +45,11 @@ def main(argv: list[str]) -> dict:
     with np.load(roll_path) as d:
         x_roll = d["x"]                              # [T, *res, C] normalized
 
-    ds_dir = os.path.join(cfg.data_dir, cfg.dataset)
+    # Relative data_dir ("data", the default) means repo-root-relative —
+    # like sibling solver_consistency.py, results must not depend on cwd.
+    data_dir = (cfg.data_dir if os.path.isabs(cfg.data_dir)
+                else os.path.join(ROOT, cfg.data_dir))
+    ds_dir = os.path.join(data_dir, cfg.dataset)
 
     # The rolled-out scene is the first code scene: lexicographically first
     # code file stem (encode_dataset writes one npz per scene prefix).
@@ -81,7 +86,7 @@ def main(argv: list[str]) -> dict:
     }
     line = json.dumps(rec)
     print(line)
-    with open("BENCHMARKS.jsonl", "a") as f:
+    with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
         f.write(line + "\n")
     return rec
 
