@@ -210,6 +210,63 @@ def pressure_project3d(vel, iters: int = 40):
     return vel - jnp.stack([gx, gy, gz], axis=-1)
 
 
+def laplacian3d(p):
+    """7-point Laplacian with edge-replicated (Neumann) boundaries — the
+    EXACT operator the Jacobi sweep in :func:`pressure_project3d` relaxes
+    (p_new = (sum_neighbors - div)/6  <=>  laplacian3d(p) = div)."""
+    pn = jnp.pad(p, 1, mode="edge")
+    return (pn[2:, 1:-1, 1:-1] + pn[:-2, 1:-1, 1:-1]
+            + pn[1:-1, 2:, 1:-1] + pn[1:-1, :-2, 1:-1]
+            + pn[1:-1, 1:-1, 2:] + pn[1:-1, 1:-1, :-2] - 6.0 * p)
+
+
+def solve_pressure3d_cg(div, tol: float = 1e-6, maxiter: int = 4000):
+    """Deflated-CG reference solve of ``laplacian3d(p) = div`` — the 3D
+    analogue of :func:`solve_pressure2d_cg` (same singular pure-Neumann
+    system, same constant-mode deflation every iteration; see that
+    docstring for why library CG diverges here).  Run under
+    jax_enable_x64 for a true converged oracle."""
+    f64 = jnp.promote_types(div.dtype, jnp.float64)
+    rhs = (div.astype(f64) - jnp.mean(div.astype(f64)))
+    b = -rhs
+    A = lambda q: -laplacian3d(q)
+    proj = lambda q: q - jnp.mean(q)
+    atol2 = (tol * jnp.linalg.norm(b)) ** 2
+
+    def cond(carry):
+        _, r, _, rs, k = carry
+        return jnp.logical_and(rs > atol2, k < maxiter)
+
+    def body(carry):
+        x, r, p, rs, k = carry
+        Ap = A(p)
+        alpha = rs / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = proj(r - alpha * Ap)
+        rs_new = jnp.vdot(r, r)
+        p = proj(r + (rs_new / rs) * p)
+        return x, r, p, rs_new, k + 1
+
+    x0 = jnp.zeros_like(b)
+    r0 = proj(b)
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, jnp.vdot(r0, r0), jnp.array(0)))
+    return (x - jnp.mean(x)).astype(div.dtype)
+
+
+def pressure_project3d_cg(vel, tol: float = 1e-6, maxiter: int = 4000):
+    """:func:`pressure_project3d` with the CG reference solve in place of
+    the fixed Jacobi iteration count — the 3D converged-projection oracle
+    (tools/solver_consistency.py 3d)."""
+    div = divergence3d_c(vel)
+    p = solve_pressure3d_cg(div, tol=tol, maxiter=maxiter)
+    pn = jnp.pad(p, 1, mode="edge")
+    gx = (pn[1:-1, 1:-1, 2:] - pn[1:-1, 1:-1, :-2]) * 0.5
+    gy = (pn[1:-1, 2:, 1:-1] - pn[1:-1, :-2, 1:-1]) * 0.5
+    gz = (pn[2:, 1:-1, 1:-1] - pn[:-2, 1:-1, 1:-1]) * 0.5
+    return vel - jnp.stack([gx, gy, gz], axis=-1)
+
+
 def wall_bc3d(vel):
     u = vel[..., 0].at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
     v = vel[..., 1].at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)

@@ -25,11 +25,14 @@ class Smoke3DConfig:
     dt: float = 1.0
     source_rate: float = 1.0
     project_iters: int = 40
-    projection: str = "jacobi"  # "jacobi" (legacy) | "matched" (discrete
-                                # Leray projection onto range(curl3d) —
+    projection: str = "jacobi"  # "jacobi" (legacy) | "cg" (converged
+                                # reference, solver-consistency study) |
+                                # "matched" (discrete Leray projection
+                                # onto range(curl3d) —
                                 # datagen/projection.py; the round-3 data-
                                 # quality fix, median frame distance to the
                                 # generator manifold 0.16 -> ~1e-2)
+    cg_tol: float = 1e-6
     mg_cycles: int = 16         # V-cycles for projection="matched" (the 3D
                                 # curl normal operator is semidefinite —
                                 # gauge modes — and converges ~0.7x/cycle
@@ -38,10 +41,10 @@ class Smoke3DConfig:
     def __post_init__(self):
         # Reject typos loudly instead of silently generating off-manifold
         # frames with the legacy Jacobi branch (see Smoke2DConfig).
-        if self.projection not in ("jacobi", "matched"):
+        if self.projection not in ("jacobi", "cg", "matched"):
             raise ValueError(
-                f"projection={self.projection!r}: expected "
-                "'jacobi' or 'matched'")
+                f"projection={self.projection!r}: expected one of "
+                "'jacobi', 'cg', 'matched'")
 
 
 def _source_mask3(d, h, w):
@@ -74,6 +77,9 @@ def _step3(state, inflow_vel, buoyancy, mask, cfg: Smoke3DConfig):
         # off the generator manifold — the error this mode removes).
         from deepfluids_tpu.datagen import projection
         vel = projection.project_curl3d(vel, cycles=cfg.mg_cycles)
+    elif cfg.projection == "cg":
+        vel = grids.pressure_project3d_cg(vel, tol=cfg.cg_tol)
+        vel = grids.wall_bc3d(vel)
     else:
         vel = grids.pressure_project3d(vel, cfg.project_iters)
         vel = grids.wall_bc3d(vel)

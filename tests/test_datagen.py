@@ -350,3 +350,28 @@ class TestSolverConsistency:
                                                    iters=20))
         rep_j = float(np.sqrt(((j20b - j20) ** 2).mean())) / rms
         assert rep < 0.5 * rep_j
+
+    def test_cg_beats_jacobi_3d(self):
+        # 3D analogue (full-scale record: metric=solver_consistency_3d).
+        from deepfluids_tpu.datagen import grids
+
+        cfg = Smoke3DConfig(depth=8, height=16, width=12, num_frames=12,
+                            project_iters=20)
+        vel, _ = simulate_smoke3d(jnp.float32(1.0), jnp.float32(0.06), cfg)
+        dirty = grids.advect3d(vel[-1], vel[-1], 1.0)
+
+        def div_rms(v):
+            d = np.asarray(divergence3d_c(jnp.asarray(v)))[1:-1, 1:-1, 1:-1]
+            return float(np.sqrt((d * d).mean()))
+
+        d0 = div_rms(dirty)
+        j20 = np.asarray(grids.pressure_project3d(dirty, iters=20))
+        j80 = np.asarray(grids.pressure_project3d(dirty, iters=80))
+        cg = np.asarray(grids.pressure_project3d_cg(dirty, tol=1e-5,
+                                                    maxiter=3000))
+        assert div_rms(cg) < div_rms(j80) < div_rms(j20) < d0
+
+        rms = float(np.sqrt((cg ** 2).mean()))
+        d_j20 = float(np.sqrt(((j20 - cg) ** 2).mean())) / rms
+        d_j80 = float(np.sqrt(((j80 - cg) ** 2).mean())) / rms
+        assert d_j80 < d_j20
