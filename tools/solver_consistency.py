@@ -286,8 +286,68 @@ def run_study_3d(depth: int = 16, height: int = 32, width: int = 56,
     }
 
 
+def run_study_matched(height: int = 128, width: int = 96, frames: int = 100,
+                      ensemble: int = 5) -> dict:
+    """Statistical distance of the MATCHED (Leray/curl-manifold) datagen
+    trajectories to the converged-CG reference, with the production-Jacobi
+    gap measured on the SAME scenes for context.
+
+    BENCHMARKS.md claims the matched round-3 datasets are "the MORE
+    physical ones"; this pins that claim with the same late-window
+    KE/spectrum statistics the jacobi-vs-cg study uses.  The matched
+    projection differs from cg in boundary handling too (zero wall
+    through-flow by construction, no trailing wall_bc), so its gap to cg
+    includes that modeling difference — the comparison asks whether the
+    matched family sits CLOSER to the converged solve than the production
+    Jacobi family it replaced."""
+    cfg = dict(height=height, width=width, num_frames=frames)
+    t0 = time.time()
+
+    m_stats, j_stats, ctrl_stats = [], [], []
+    for i in range(ensemble):
+        pos = jnp.float32(0.2 + 0.6 * i / max(1, ensemble - 1))
+        size = jnp.float32(0.06 + 0.01 * (i % 3))
+        vc, _ = simulate_smoke2d(pos, size,
+                                 Smoke2DConfig(projection="cg", **cfg))
+        vm, _ = simulate_smoke2d(pos, size,
+                                 Smoke2DConfig(projection="matched", **cfg))
+        vj, _ = simulate_smoke2d(pos, size, Smoke2DConfig(**cfg))
+        vp, _ = simulate_smoke2d(pos, size, Smoke2DConfig(
+            buoyancy=0.08 * (1 + 1e-4), **cfg))
+        vc, vm, vj, vp = (np.asarray(v) for v in (vc, vm, vj, vp))
+        m_stats.append(_traj_stats(vm, vc, frames))
+        j_stats.append(_traj_stats(vj, vc, frames))
+        ctrl_stats.append(_traj_stats(vp, vj, frames))
+
+    med = lambda recs, k: float(np.median([abs(r[k]) for r in recs]))
+    signed = lambda recs: [round(r["ke"], 4) for r in recs]
+
+    return {
+        "metric": "solver_consistency_matched2d",
+        "resolution": [height, width],
+        "frames": frames,
+        "ensemble": ensemble,
+        "ke_stat_rel_matched_vs_cg": round(med(m_stats, "ke"), 5),
+        "ke_stat_rel_jacobi_vs_cg": round(med(j_stats, "ke"), 5),
+        "ke_stat_rel_chaos_control": round(med(ctrl_stats, "ke"), 5),
+        "ke_signed_gaps_matched_vs_cg": signed(m_stats),
+        "ke_signed_gaps_jacobi_vs_cg": signed(j_stats),
+        "spectrum_rel_med_matched_vs_cg": round(med(m_stats, "sp_med"), 5),
+        "spectrum_rel_med_jacobi_vs_cg": round(med(j_stats, "sp_med"), 5),
+        "spectrum_rel_med_chaos_control": round(med(ctrl_stats, "sp_med"), 5),
+        "backend": jax.default_backend(),
+        "secs": round(time.time() - t0, 1),
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+
+
 if __name__ == "__main__":
-    rec = run_study_3d() if "3d" in sys.argv[1:] else run_study()
+    if "3d" in sys.argv[1:]:
+        rec = run_study_3d()
+    elif "matched" in sys.argv[1:]:
+        rec = run_study_matched()
+    else:
+        rec = run_study()
     print(json.dumps(rec))
     with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
