@@ -351,6 +351,30 @@ class TestSolverConsistency:
         rep_j = float(np.sqrt(((j20b - j20) ** 2).mean())) / rms
         assert rep < 0.5 * rep_j
 
+    def test_matched_closer_to_converged_than_jacobi(self):
+        # Pin of tools/solver_consistency.py's "matched" mode conclusion
+        # (full-scale record: metric=solver_consistency_matched2d): the
+        # matched-projection trajectory sits closer to the converged-CG
+        # trajectory than the production Jacobi trajectory does, in
+        # late-window kinetic energy.  Scale note: BELOW ~64x48 the
+        # conclusion inverts — the matched operator's zero-Dirichlet psi
+        # ring is a large fraction of a tiny domain — so this pin runs at
+        # 96x64 (margin 2.1x there, 6.4x at the full-scale 128x96).
+        cfg = dict(height=96, width=64, num_frames=60)
+        pos, size = jnp.float32(0.5), jnp.float32(0.07)
+        vc, _ = simulate_smoke2d(pos, size,
+                                 Smoke2DConfig(projection="cg", **cfg))
+        vm, _ = simulate_smoke2d(pos, size,
+                                 Smoke2DConfig(projection="matched", **cfg))
+        vj, _ = simulate_smoke2d(pos, size, Smoke2DConfig(**cfg))
+
+        def ke(v):
+            return np.asarray((v ** 2).sum(axis=(1, 2, 3)))[30:]
+
+        gap_m = np.abs(ke(vm) - ke(vc)).mean()
+        gap_j = np.abs(ke(vj) - ke(vc)).mean()
+        assert gap_m < gap_j
+
     def test_cg_beats_jacobi_3d(self):
         # 3D analogue (full-scale record: metric=solver_consistency_3d).
         from deepfluids_tpu.datagen import grids
