@@ -82,3 +82,27 @@ def test_supervised_run_survives_kill_and_matches(tiny):
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         steps = [json.loads(line)["step"] for line in f]
     assert max(steps) == 10
+
+
+def test_outage_retries_do_not_consume_restart_budget(tiny):
+    # A child that dies WITHOUT making progress (here: nonexistent
+    # dataset, standing in for a TPU-tunnel outage at backend init) must
+    # be retried with backoff WITHOUT touching --max_restarts, then give
+    # up once the continuous no-progress window exceeds --max_outage_secs.
+    # Observed for real: a multi-hour tunnel outage would otherwise burn
+    # the whole budget.
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "supervise.py"),
+         "--max_restarts", "0", "--restart_on", "any",
+         "--backoff", "0.1", "--max_outage_secs", "20", "--",
+         *_flags(tiny, "outage", dataset="does_not_exist")],
+        capture_output=True, text=True, timeout=600, cwd=_REPO, env=env)
+    assert out.returncode != 0
+    # Retried at least twice despite a zero restart budget...
+    assert "outage retry #2" in out.stdout, out.stdout
+    assert "budget intact, 0/0 restarts used" in out.stdout, out.stdout
+    # ...and gave up on the outage window, not the budget.
+    assert "no progress for" in out.stdout, out.stdout
