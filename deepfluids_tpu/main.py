@@ -35,6 +35,13 @@ def main(config: Config) -> dict:
     if init_distributed():
         log.info("multi-host initialized")
 
+    # Force backend init BEFORE the (possibly many-minute) dataset load:
+    # during a device-runtime outage the child then fails fast and the
+    # supervisor's outage backoff engages, instead of re-reading tens of
+    # GB of npz on every retry just to fail at first device contact.
+    log.info("backend ready: %d device(s) [%s]", jax.device_count(),
+             jax.default_backend())
+
     if not config.is_train and config.load_path:
         # Rebuild the TRAINED architecture from the run's own params.json
         # (explicit CLI flags still override); never clobber the run's
