@@ -108,7 +108,24 @@ def run_cpu_baseline() -> list[float]:
 
 
 def main():
+    # Bound the whole bench: during a device-runtime outage, backend init
+    # can HANG indefinitely (observed: multi-hour axon outage, children
+    # blocked in init) — better one clear failure line than a silent hang.
+    import threading
+
+    budget = float(os.environ.get("BENCH_TIMEOUT_SECS", "2400"))
+
+    def _abort():
+        print(f"bench: no result within {budget:.0f}s — device runtime "
+              "likely down (backend init hang)", file=sys.stderr)
+        os._exit(3)
+
+    killer = threading.Timer(budget, _abort)
+    killer.daemon = True
+    killer.start()
+
     fields_per_sec = run_device_bench()
+    killer.cancel()
     try:
         cpu_rates = sorted(run_cpu_baseline())
         cpu_rate = float(np.median(cpu_rates))
