@@ -20,9 +20,20 @@ def main():
                     help="second param count (sizes / buoyancies)")
     ap.add_argument("--num-frames", type=int, default=None)
     ap.add_argument("--name", default=None, help="override dataset dir name")
+    ap.add_argument("--projection", choices=("jacobi", "matched"),
+                    default=None,
+                    help="pressure projection: 'jacobi' reproduces the "
+                         "legacy datasets; 'matched' generates frames on "
+                         "the generator's curl manifold (round-3 quality "
+                         "fix — see BENCHMARKS.md)")
     args = ap.parse_args()
 
     kwargs = {}
+    if args.projection is not None:
+        if args.scene == "liquid_pos10_size4":
+            ap.error("--projection applies to smoke scenes only (the "
+                     "liquid solver is FLIP with a free-surface solve)")
+        kwargs["projection"] = args.projection
     if args.num_frames is not None:
         kwargs["num_frames"] = args.num_frames
     if args.name:

@@ -31,6 +31,36 @@ class TestSmoke2DSolver:
             with _pytest.raises(ValueError, match="projection"):
                 Smoke3DConfig(projection=bad)
 
+    def test_datagen_cli_projection_flag(self, tmp_path, monkeypatch):
+        # `python -m deepfluids_tpu.datagen --projection matched` must reach
+        # the scene fn (round-3 matched datasets are generated via the CLI);
+        # and it must be rejected for the FLIP liquid scene, which has no
+        # pressure-projection knob.
+        import sys
+
+        from deepfluids_tpu.datagen import __main__ as cli
+
+        seen = {}
+
+        def fake_scene(out_root, **kwargs):
+            seen.update(kwargs)
+            return out_root
+
+        monkeypatch.setitem(cli.SCENES, "smoke_pos21_size5", fake_scene)
+        monkeypatch.setattr(sys, "argv", [
+            "datagen", "--scene", "smoke_pos21_size5", "--out",
+            str(tmp_path), "--num-a", "2", "--num-b", "1",
+            "--num-frames", "3", "--projection", "matched"])
+        cli.main()
+        assert seen["projection"] == "matched"
+        assert seen["num_pos"] == 2 and seen["num_frames"] == 3
+
+        monkeypatch.setattr(sys, "argv", [
+            "datagen", "--scene", "liquid_pos10_size4", "--out",
+            str(tmp_path), "--projection", "matched"])
+        with pytest.raises(SystemExit):
+            cli.main()
+
     def test_plume_rises_and_projects(self):
         cfg = Smoke2DConfig(height=48, width=32, num_frames=12,
                             project_iters=30)
