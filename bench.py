@@ -29,6 +29,15 @@ CPU_WINDOWS = 5    # windows; the MEDIAN window rate is the baseline (the
                    # r01->r02 vs_baseline swing was a single contended CPU
                    # window, not a device change — see VERDICT r2 weak #1)
 
+# Pinned nominal CPU-proxy rate (fields/s): the best-of-rounds median from
+# an idle machine (round 2: device 7806.4 / vs 994.5 -> 7.85 fields/s;
+# recorded in BASELINE.md "pinned CPU proxy").  `vs_baseline_pinned`
+# divides by THIS constant so round-over-round deltas reflect the device,
+# not whoever else is time-sharing the host CPU during the live proxy
+# windows (the live `vs_baseline` swung 994.5x-1697.7x across rounds while
+# the device rate moved +-0.3% — VERDICT r3 weak #1).
+CPU_RATE_PINNED = 7.85
+
 
 def _measure(fn, args, iters, warmup):
     """Wall time per call, forcing a host fetch of a scalar EVERY call.
@@ -141,6 +150,8 @@ def main():
         "value": round(fields_per_sec, 1),
         "unit": "fields/s (128x96, scanned sweep 16x512, curl applied)",
         "vs_baseline": round(vs, 1) if vs == vs else None,
+        "vs_baseline_pinned": round(fields_per_sec / CPU_RATE_PINNED, 1),
+        "cpu_rate_pinned": CPU_RATE_PINNED,
         "device_rate": round(fields_per_sec, 1),
         "cpu_rate_median": round(cpu_rate, 2) if cpu_rate else None,
         "cpu_rates": [round(r, 2) for r in cpu_rates],

@@ -231,6 +231,10 @@ class CodeDataset:
         files = sorted(glob.glob(os.path.join(self.code_dir, "*.npz")))
         if not files:
             raise FileNotFoundError(f"no code files under {self.code_dir}")
+        # Scene stems (filename minus .npz) in file order — index-aligned
+        # with self.z/self.p, so eval code can find each code sequence's
+        # ground-truth frames (<scene>_<frame>.npz) on disk.
+        self.scenes = [os.path.basename(fp)[:-4] for fp in files]
         self.z: list[np.ndarray] = []
         self.p: list[np.ndarray] = []
         for fp in files:

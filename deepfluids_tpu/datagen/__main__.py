@@ -6,6 +6,7 @@ Example:
 """
 
 import argparse
+import inspect
 
 from deepfluids_tpu.datagen.scenes import SCENES
 
@@ -30,9 +31,18 @@ def main():
 
     kwargs = {}
     if args.projection is not None:
-        if args.scene == "liquid_pos10_size4":
-            ap.error("--projection applies to smoke scenes only (the "
-                     "liquid solver is FLIP with a free-surface solve)")
+        # Guard keyed on the scene function's own signature (not a scene
+        # name list) so it stays correct as scenes are added: any scene
+        # without a projection choice rejects cleanly at parse time.
+        # (**kwargs-style scene fns pass — they accept any keyword.)
+        params = inspect.signature(SCENES[args.scene]).parameters
+        accepts = "projection" in params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in params.values())
+        if not accepts:
+            ap.error(f"--projection is not supported by scene "
+                     f"{args.scene!r} (e.g. the liquid solver is FLIP "
+                     "with a free-surface solve)")
         kwargs["projection"] = args.projection
     if args.num_frames is not None:
         kwargs["num_frames"] = args.num_frames

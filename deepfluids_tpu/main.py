@@ -147,7 +147,21 @@ def main(config: Config) -> dict:
     save_gif(os.path.join(out_dir, "rollout.gif"),
              [f for f in fields[:, 0]], mode)
     log.info("rollout of %d steps -> %s", T, out_dir)
-    return {"rollout_steps": int(T), "out_dir": out_dir}
+    result = {"rollout_steps": int(T), "out_dir": out_dir}
+    # Field-space drift profile vs the simulated trajectory — the same
+    # infer.score code path Trainer.evaluate and tools/rollout_eval.py use
+    # (one metric, one implementation; VERDICT r3 next #8).
+    from deepfluids_tpu.infer.score import score_rollout_vs_sim
+
+    try:
+        result["rollout_field_l2"] = score_rollout_vs_sim(
+            fields[:, 0], config.dataset_dir, trainer.codes.scenes[0],
+            field_key="l" if trainer.manifest.data_type == "levelset"
+            else "v")
+        log.info("rollout drift vs sim: %s", result["rollout_field_l2"])
+    except FileNotFoundError:
+        pass  # codes without raw frames on disk: latent-only artifacts
+    return result
 
 
 if __name__ == "__main__":

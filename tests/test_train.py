@@ -584,6 +584,23 @@ class TestEvaluate:
         r = t_nn.evaluate(num_samples=2, decode_fn=t_ae.decode)
         assert {"z_mae", "z_mae_final", "field_rmse"} <= set(r)
         assert np.isfinite(r["z_mae"]) and r["rollout_steps"] == 4
+        # Unified field-space drift profile (same code path as
+        # tools/rollout_eval.py) rides along whenever a decoder is known.
+        prof = r["rollout_field_l2"]
+        assert prof["rollout_steps"] == 4
+        assert prof["scene"] == t_nn.codes.scenes[0]
+        assert np.isfinite(prof["l2_median"]) and prof["l2_median"] > 0
+
+        # --ae_load_path alone must wire the same decoder (VERDICT r3 #8:
+        # no hand-built AE needed for routine field-space nn evals).
+        # (train() already checkpointed t_ae at its final step.)
+        c_nn2 = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                            tag="evnn2", w_num=3,
+                            ae_load_path=t_ae.run_dir)
+        t_nn2 = Trainer(c_nn2)
+        t_nn2.train(num_steps=2)
+        r2 = t_nn2.evaluate(num_samples=2)
+        assert {"field_rmse", "rollout_field_l2"} <= set(r2)
 
 
 class TestWatchdog:

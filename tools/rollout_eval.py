@@ -14,6 +14,11 @@ median over the whole horizon plus first/last quarter medians (the drift
 profile VERDICT round-2 weak #7 tracks).  Appends a ``rollout_field_l2``
 record to BENCHMARKS.jsonl — same shape as the round-2 ad-hoc records.
 
+The metric math lives in ``deepfluids_tpu.infer.score`` — the SAME code
+path ``Trainer.evaluate`` (arch nn, with ``--ae_load_path``) and main.py's
+nn test path report (round-3 VERDICT next #8); this tool only adds the
+load-a-saved-rollout.npz front end.
+
 Usage: python tools/rollout_eval.py <nn_run_dir> [note]
 """
 
@@ -57,30 +62,13 @@ def main(argv: list[str]) -> dict:
         os.path.join(ds_dir, f"code{cfg.z_num}", "*.npz")))
     scene = os.path.basename(code_files[0])[:-4]
 
-    frames = glob.glob(os.path.join(ds_dir, "v", f"{scene}_*.npz"))
-    frames = [f for f in frames
-              if os.path.basename(f)[:-4].rsplit("_", 1)[0] == scene]
-    frames.sort(key=lambda f: int(os.path.basename(f)[:-4].rsplit("_", 1)[1]))
+    from deepfluids_tpu.infer.score import score_rollout_vs_sim
 
-    T = min(len(frames), x_roll.shape[0])
-    l2 = np.empty(T)
-    for t in range(T):
-        with np.load(frames[t]) as z:
-            gt = z["x"]
-        gt = np.asarray(gt).reshape(x_roll.shape[1:])
-        r = x_roll[t].astype(np.float64) - gt.astype(np.float64)
-        l2[t] = np.linalg.norm(r) / max(np.linalg.norm(gt), 1e-12)
-
-    q = max(T // 4, 1)
+    profile = score_rollout_vs_sim(x_roll, ds_dir, scene)
     rec = {
         "metric": "rollout_field_l2",
         "run": os.path.basename(run_dir),
-        "scene": scene,
-        "rollout_steps": int(T),
-        "l2_median": round(float(np.median(l2)), 4),
-        "l2_firstq_median": round(float(np.median(l2[:q])), 4),
-        "l2_lastq_median": round(float(np.median(l2[-q:])), 4),
-        "l2_max": round(float(l2.max()), 4),
+        **profile,
         "note": note,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
