@@ -36,3 +36,60 @@ def pytest_sessionstart(session):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# --- tiering (round-3 VERDICT next #7) ------------------------------------
+# Tests below are the multi-minute tail of the suite (measured durations,
+# 2026-08-19 timed run: these 28 sum to ~70 % of total wall).  They carry
+# @slow so the default `pytest -q` stays under ~5 min and keeps being run;
+# every feature they cover retains a fast representative in the default
+# tier (e.g. TestTensorParallel covers TP while the flagship-shape TP test
+# is slow).  Run everything with `pytest -q -m ''`.
+SLOW_TESTS = frozenset({
+    "test_train.py::TestTPFlagshipShape::test_tp_flagship_step_grads_checkpoint",
+    "test_train.py::TestGrainPipeline::test_grain_stream_deterministic",
+    "test_train.py::TestGrainPipeline::test_grain_trains",
+    "test_train.py::TestGrainPipeline::test_grain_respects_holdout",
+    "test_train.py::TestGridDecoder::test_grid_decoder_trains_and_evaluates",
+    "test_train.py::TestEvaluate::test_evaluate_nn_rollout",
+    "test_train.py::TestRolloutNoise::test_noise_rollout_deterministic_and_trains",
+    "test_train.py::TestSpatialShard::test_3d_spatial_single_slice_shards",
+    "test_train.py::TestTrainer3D::test_3d_generator_training",
+    "test_train.py::TestExactResume::test_resume_device_cache_scanned",
+    "test_parallel.py::TestSpatialLossKnobs::test_spatial_matches_replicated_relative_l2",
+    "test_parallel.py::TestRealisticResolutionSharded::test_dp_and_spatial_full_resolution",
+    "test_datagen.py::TestGrainLoader::test_grain_skip_matches_fresh_tail",
+    "test_datagen.py::TestGrainLoader::test_grain_multiprocess_workers",
+    "test_datagen.py::TestSolverConsistency::test_matched_closer_to_converged_than_jacobi",
+    "test_supervise.py::test_supervised_run_survives_kill_and_matches",
+    "test_supervise.py::test_outage_retries_do_not_consume_restart_budget",
+    "test_multihost.py::test_two_process_dp_matches_single_process",
+    "test_projection.py::TestProjectCurl3D::test_on_manifold_walls_and_near_idempotent",
+    "test_projection.py::TestMatchedSmoke3DScene::test_trajectory_on_manifold",
+    "test_projection.py::TestMultigrid::test_vcycle_converges_div_lap",
+    "test_projection.py::TestMatchedSmokeScene::test_trajectory_on_manifold",
+    "test_projection.py::TestProjectCurl2D::test_on_manifold_and_walls",
+    "test_projection.py::TestDiagProbe::test_probed_diag_matches_dense",
+    "test_projection.py::TestAdjoints::test_div_adjoint",
+    "test_main.py::TestTestTimeConfigMerge::test_sweep_rebuilds_trained_arch",
+    "test_main.py::TestCLIFlow::test_ae_nn_rollout_pipeline",
+    "test_models.py::TestSpectralResidual::test_generator_spectral_2d_3d",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    # Match on "file.py::Class::test" (parametrized ids strip their [..]
+    # suffix so one entry covers all cases).  Entries that match nothing
+    # fail the run — the registry must not silently rot as tests move.
+    matched = set()
+    for item in items:
+        nodeid = item.nodeid.split("[")[0]
+        key = nodeid.split("/")[-1]
+        if key in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+            matched.add(key)
+    # Only enforce on full collections (a `pytest tests/test_ops.py` run
+    # legitimately sees none of the slow files).
+    if config.args in ([], ["tests"], ["tests/"]):
+        stale = SLOW_TESTS - matched
+        assert not stale, f"SLOW_TESTS entries match no test: {sorted(stale)}"
