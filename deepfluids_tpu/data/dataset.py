@@ -222,15 +222,29 @@ class CodeDataset:
 
     ``window_batch`` serves random windows of ``w`` consecutive codes for
     recurrent training (SURVEY.md §3.4; w ~= 30 [B]).
+
+    ``holdout_scenes`` mirrors BatchManager's contract: the LAST N scenes
+    (sorted name order — the same set the AE's field-level holdout picks,
+    so one --eval_holdout_scenes value partitions the whole cfg-4 pipeline
+    consistently) never enter training draws; their code sequences stay
+    loaded for evaluation.
     """
 
-    def __init__(self, dataset_dir: str, z_num: int, seed: int = 0):
+    def __init__(self, dataset_dir: str, z_num: int, seed: int = 0,
+                 holdout_scenes: int = 0):
         self.seed = seed
         self.manifest = load_manifest(dataset_dir)
         self.code_dir = os.path.join(dataset_dir, f"code{z_num}")
         files = sorted(glob.glob(os.path.join(self.code_dir, "*.npz")))
         if not files:
             raise FileNotFoundError(f"no code files under {self.code_dir}")
+        if holdout_scenes < 0 or holdout_scenes >= len(files):
+            # Same guard as BatchManager: a negative value would silently
+            # become a near-total holdout downstream.
+            raise ValueError(
+                f"eval_holdout_scenes={holdout_scenes} must be in "
+                f"[0, {len(files)}) for this {len(files)}-scene code set")
+        self.num_train_scenes = len(files) - holdout_scenes
         # Scene stems (filename minus .npz) in file order — index-aligned
         # with self.z/self.p, so eval code can find each code sequence's
         # ground-truth frames (<scene>_<frame>.npz) on disk.
@@ -249,6 +263,11 @@ class CodeDataset:
     def num_scenes(self) -> int:
         return len(self.z)
 
+    @property
+    def eval_scene_indices(self) -> np.ndarray:
+        """Indices of the held-out scenes (empty without a holdout)."""
+        return np.arange(self.num_train_scenes, len(self.z))
+
     def window_batch(self, batch_size: int, window: int,
                      step: int | None = None
                      ) -> tuple[np.ndarray, np.ndarray]:
@@ -265,7 +284,7 @@ class CodeDataset:
         rng = self.rng if step is None else step_rng(self.seed, step)
         zs, ps = [], []
         for _ in range(batch_size):
-            s = int(rng.integers(0, self.num_scenes))
+            s = int(rng.integers(0, self.num_train_scenes))
             t_max = self.z[s].shape[0] - window  # >= 0 (guarded above)
             t0 = int(rng.integers(0, t_max + 1))  # inclusive last start
             zs.append(self.z[s][t0:t0 + window])

@@ -77,13 +77,14 @@ class Trainer:
                 holdout_scenes=config.eval_holdout_scenes)
             self.manifest = self.bm.manifest
         else:  # nn
-            if config.eval_holdout_scenes:
-                raise ValueError(
-                    "--eval_holdout_scenes applies to arch de/ae (field "
-                    "datasets); hold scenes out of the AE encode pass "
-                    "instead for arch nn")
+            # Scene-level holdout mirrors BatchManager's (LAST N scenes in
+            # sorted order — the SAME set the AE held out when trained with
+            # the same flag), so the whole cfg-4 pipeline partitions
+            # consistently: held-out scenes' windows never enter integrator
+            # training, and _evaluate_nn rolls out only held-out scenes.
             self.codes = CodeDataset(config.dataset_dir, config.z_num,
-                                     seed=config.seed)
+                                     seed=config.seed,
+                                     holdout_scenes=config.eval_holdout_scenes)
             self.manifest = self.codes.manifest
         if config.input_pipeline == "grain":
             if config.arch not in ("de", "ae"):
@@ -725,15 +726,20 @@ class Trainer:
     def _evaluate_nn(self, num_samples: int, decode_fn=None) -> dict:
         """Latent-rollout fidelity: advance each sampled scene's code from
         z_0 over its FULL trajectory (not just the training window w) and
-        compare to the AE-encoded ground truth.
+        compare to the AE-encoded ground truth.  With
+        --eval_holdout_scenes only the held-out scenes (never seen by the
+        integrator's window sampler) are rolled out.
 
         With a decoder (explicit ``decode_fn`` or ``--ae_load_path``) also
         reports field space: ``field_rmse`` (decoded pred vs decoded truth)
         and the ``rollout_field_l2`` drift profile vs the SIMULATED frames
         — computed by the same infer.score code path as
         tools/rollout_eval.py (one metric, one implementation)."""
-        n = self.codes.num_scenes
-        idx = np.linspace(0, n - 1, min(num_samples, n)).astype(int)
+        holdout = bool(self.c.eval_holdout_scenes)
+        pool = (self.codes.eval_scene_indices if holdout
+                else np.arange(self.codes.num_scenes))
+        idx = pool[np.linspace(0, len(pool) - 1,
+                               min(num_samples, len(pool))).astype(int)]
         # Scenes may have unequal lengths (CodeDataset supports that);
         # evaluate over the shortest common trajectory.
         t_min = min(self.codes.z[i].shape[0] for i in idx)
@@ -746,7 +752,7 @@ class Trainer:
                                                self.num_param))(
             self.state.params, jnp.asarray(z0), jnp.asarray(p_seq)))
         err = np.abs(traj - z_true)
-        out = {"num_samples": int(len(idx)),
+        out = {"num_samples": int(len(idx)), "holdout": holdout,
                "z_mae": float(err.mean()),
                "z_mae_final": float(err[-1].mean()),
                "rollout_steps": int(traj.shape[0])}

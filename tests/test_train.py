@@ -706,11 +706,51 @@ class TestEvalHoldout:
         assert r["num_samples"] <= len(t.bm.eval_indices)
         assert np.isfinite(r["l2_mean"])
 
-    def test_holdout_rejected_for_nn(self, tiny_dataset, tmp_path):
-        c = tiny_config(tiny_dataset, str(tmp_path), tag="holdnn",
-                        arch="nn", eval_holdout_scenes=1)
-        with pytest.raises((ValueError, FileNotFoundError)):
-            Trainer(c)
+    def test_nn_holdout_partitions_pipeline(self, tiny_dataset, tmp_path):
+        # AE (holdout 1) -> encode ALL scenes -> integrator with the SAME
+        # holdout flag: the held-out scene's windows never enter training
+        # draws, and evaluate() rolls out ONLY held-out scenes (a true
+        # held-out rollout number for the cfg-4 pipeline).
+        c_ae = tiny_config(tiny_dataset, str(tmp_path), arch="ae",
+                           tag="aehold", eval_holdout_scenes=1)
+        t_ae = Trainer(c_ae)
+        t_ae.train(num_steps=2)
+        from deepfluids_tpu.infer import encode_dataset
+
+        encode_dataset(t_ae.encode, c_ae.dataset_dir, c_ae.z_num,
+                       batch_size=8)
+
+        c_nn = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                           tag="nnhold", w_num=3, batch_size=8,
+                           eval_holdout_scenes=1)
+        t_nn = Trainer(c_nn)
+        n = t_nn.codes.num_scenes
+        assert t_nn.codes.num_train_scenes == n - 1
+        assert list(t_nn.codes.eval_scene_indices) == [n - 1]
+        # Training windows never come from the held-out scene: its param
+        # vector (pos,size — constant over the trajectory) must not show
+        # up in any sampled window.
+        held_p = tuple(np.round(t_nn.codes.p[n - 1][0][:2], 5))
+        for step in range(1, 12):
+            _, p_seq = t_nn.codes.window_batch(8, 3, step=step)
+            for b in range(p_seq.shape[1]):
+                assert tuple(np.round(p_seq[0, b, :2], 5)) != held_p
+        aux = t_nn.train(num_steps=3)
+        assert np.isfinite(aux["loss"])
+        r = t_nn.evaluate(num_samples=4)
+        assert r["holdout"] is True
+        assert r["num_samples"] == 1  # exactly the held-out scene pool
+        assert np.isfinite(r["z_mae"])
+
+        # negative / too-large holdouts reject cleanly (same guard as
+        # BatchManager; codes exist here from the encode pass above)
+        from deepfluids_tpu.data.dataset import CodeDataset
+
+        ds_dir = os.path.join(tiny_dataset, "tiny_smoke")
+        with pytest.raises(ValueError, match="holdout"):
+            CodeDataset(ds_dir, 8, holdout_scenes=-1)
+        with pytest.raises(ValueError, match="holdout"):
+            CodeDataset(ds_dir, 8, holdout_scenes=n)
 
 
 class TestGrainPipeline:
