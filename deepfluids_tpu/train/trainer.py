@@ -52,6 +52,12 @@ from deepfluids_tpu.utils import (
 log = get_logger()
 
 
+def _default_backend() -> str:
+    """Indirection over jax.default_backend so tests can simulate an
+    accelerator backend without disturbing Pallas' interpret-mode probe."""
+    return jax.default_backend()
+
+
 class Trainer:
     """Owns model + state + data for one run; dispatches on config.arch."""
 
@@ -559,6 +565,21 @@ class Trainer:
             # in the HBM cache, the index map keeps holdout frames out.
             cache_n = len(self.bm.train_indices)
         else:
+            if c.arch in ("de", "ae") and _default_backend() != "cpu":
+                # Streaming per-step batches to an accelerator is not just
+                # slow (link-bound, measured 13 vs 230 steps/s): through
+                # RPC-tunneled runtimes the client can RETAIN per-call
+                # input buffers, growing host RSS by ~batch bytes x steps
+                # until the OOM killer fires (observed: 100 GB at ~8k 3D
+                # steps, batch 4 x 2.75 MB x 4/call).  The HBM cache ships
+                # the dataset ONCE and sends only int32 indices per call.
+                per_call = (self.bm.ds.get_normalized(0)[0].nbytes
+                            * c.batch_size * k)
+                log.warning(
+                    "streaming batches to the %s backend (~%.1f MB/call "
+                    "host->device): strongly prefer --device_data_cache "
+                    "true (+ --cache_dtype float16 if HBM-tight) for any "
+                    "long run", jax.default_backend(), per_call / 1e6)
             it = self._batches(num_steps, start_step=start_step)
 
         def crossed(period: int, step: int, take: int) -> bool:
@@ -851,10 +872,30 @@ class Trainer:
         target = {"params": self.state.params,
                   "opt_state": self.state.opt_state,
                   "step": 0}
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
-        self.state = self.state.replace(
-            params=restored["params"], opt_state=restored["opt_state"],
-            step=restored["step"])
+        try:
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(target))
+            self.state = self.state.replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                step=restored["step"])
+        except ValueError as e:
+            # Optimizer hyper-structure changed since the checkpoint was
+            # written (e.g. resuming with --grad_clip after an unclipped
+            # run wraps the optax chain, so the opt_state pytree no longer
+            # matches the on-disk one).  Params are what carry the run:
+            # restore params + step and re-init the optimizer fresh.
+            # Without this fallback a supervised run loops restore-crash
+            # forever (r4: 3h of outage retries on cfg5's clip restart).
+            log.warning("full TrainState restore failed (%s); falling back "
+                        "to params-only restore with a FRESH optimizer "
+                        "state", str(e).splitlines()[0])
+            raw = mgr.restore(step)
+            params = jax.tree_util.tree_map(
+                lambda t, s: jnp.asarray(s, dtype=t.dtype),
+                self.state.params, raw["params"])
+            self.state = self.state.replace(
+                params=params, opt_state=self.state.tx.init(params),
+                step=int(raw["step"]))
         self.state = jax.device_put(self.state, self._state_sharding)
         return int(step)
 

@@ -87,10 +87,15 @@ class TestTestTimeConfigMerge:
             after = json.load(f)
         assert after == saved   # params.json untouched by the sweep
 
-    def test_merge_prefers_explicit_cli(self, env):
-        from deepfluids_tpu.config import merge_test_config
+    def test_merge_prefers_explicit_cli(self, env, tmp_path):
+        # Self-contained (no dependency on the slow sweep test above): the
+        # merge only needs a run dir holding a params.json.
+        from deepfluids_tpu.config import merge_test_config, save_config
 
-        run = os.path.join(env["logs"], "tiny_gridde")
+        run = str(tmp_path / "tiny_gridde_cfg")
+        os.makedirs(run, exist_ok=True)
+        save_config(cfg(env, tag="gridde", decoder="grid", grid_levels=2,
+                        grid_features=2, grid_rank=2, filters=4), run)
         cli = Config(is_train=False, load_path=run, test_counts="2,1",
                      data_dir=env["data"], log_dir=env["logs"])
         merged = merge_test_config(cli, run)

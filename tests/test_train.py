@@ -350,6 +350,31 @@ class TestDeviceDataCache:
         assert t._device_cache is not None
         assert t._device_cache[0].shape[0] == 16  # 2x2 scenes x 4 frames
 
+    def test_streaming_to_accelerator_warns(self, tiny_dataset, tmp_path,
+                                            monkeypatch):
+        # Streaming per-step batches to a non-CPU backend leaks host RAM
+        # through RPC-tunneled runtimes (r4: 100 GB OOM-kill) — the
+        # trainer must shout.  Backend monkeypatched: tests run on CPU.
+        # (The package logger has propagate=False, so capture log.warning
+        # directly instead of via caplog.)
+        import deepfluids_tpu.train.trainer as trmod
+
+        warned: list[str] = []
+        monkeypatch.setattr(trmod, "_default_backend", lambda: "tpu")
+        monkeypatch.setattr(trmod.log, "warning",
+                            lambda msg, *a: warned.append(msg % a))
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="warn")
+        t = Trainer(c)
+        t.train(num_steps=2)
+        assert any("device_data_cache" in m for m in warned)
+        # ... and stays quiet when the cache is on
+        warned.clear()
+        c2 = tiny_config(tiny_dataset, str(tmp_path), tag="warn2",
+                         device_data_cache=True)
+        t2 = Trainer(c2)
+        t2.train(num_steps=2)
+        assert not any("device_data_cache" in m for m in warned)
+
 
 class TestGeometryValidation:
     def test_res_flag_mismatch_raises(self, tiny_dataset, tmp_path):
@@ -528,6 +553,29 @@ class TestExactResume:
         tc.train(num_steps=10)
         pc = jax.device_get(tc.state.params)
         jax.tree.map(np.testing.assert_array_equal, pa, pc)
+
+    def test_resume_across_optimizer_structure_change(self, tiny_dataset,
+                                                      tmp_path):
+        # Resuming with --grad_clip after an unclipped run changes the
+        # optax chain's pytree structure; the full TrainState restore
+        # fails structurally and must fall back to params-only + fresh
+        # opt state instead of crashing (r4: a supervised cfg5 restart
+        # looped restore-crash for 3h on exactly this).
+        ca = tiny_config(tiny_dataset, str(tmp_path), tag="noclip")
+        ta = Trainer(ca)
+        ta.train(num_steps=4)
+        ta.save_checkpoint(wait=True)
+        pa = jax.device_get(ta.state.params)
+
+        cb = tiny_config(tiny_dataset, str(tmp_path), tag="clip",
+                         grad_clip=1.0)
+        tb = Trainer(cb, run_dir=ta.run_dir, save_cfg=False)
+        assert tb.restore_checkpoint() == 4          # params-only fallback
+        pb = jax.device_get(tb.state.params)
+        jax.tree.map(np.testing.assert_array_equal, pa, pb)
+        aux = tb.train(num_steps=2)                  # trains on clean opt
+        assert np.isfinite(aux["loss"])
+        assert int(tb.state.step) == 6
 
     def test_resume_device_cache_scanned(self, tiny_dataset, tmp_path):
         # Same contract on the HBM-cache + fused-steps path (the production
