@@ -794,19 +794,27 @@ class Trainer:
             from deepfluids_tpu.infer.score import score_rollout_vs_sim
 
             scene = self.codes.scenes[int(idx[0])]
-            zs = traj[:, 0]                                # [T, z]
+            fk = ("l" if self.manifest.data_type == "levelset" else "v")
             bs = max(1, self.c.test_batch_size)
-            pad = (-len(zs)) % bs
-            zp = (np.concatenate([zs, np.repeat(zs[-1:], pad, 0)])
-                  if pad else zs)
-            dec = np.concatenate([decode_fn(zp[i:i + bs])
-                                  for i in range(0, len(zp), bs)])[:len(zs)]
-            try:
-                out["rollout_field_l2"] = score_rollout_vs_sim(
+
+            def decode_profile(zs):             # [T, z] -> drift profile
+                pad = (-len(zs)) % bs
+                zp = (np.concatenate([zs, np.repeat(zs[-1:], pad, 0)])
+                      if pad else zs)
+                dec = np.concatenate(
+                    [decode_fn(zp[i:i + bs])
+                     for i in range(0, len(zp), bs)])[:len(zs)]
+                return score_rollout_vs_sim(
                     self.manifest.denormalize_field(dec),
-                    self.c.dataset_dir, scene,
-                    field_key="l" if self.manifest.data_type == "levelset"
-                    else "v")
+                    self.c.dataset_dir, scene, field_key=fk)
+
+            try:
+                out["rollout_field_l2"] = decode_profile(traj[:, 0])
+                # The AE-only floor on the SAME scene: decoding the
+                # ground-truth codes separates how much of the rollout
+                # error is the integrator drifting vs the AE's own
+                # reconstruction limit at each horizon.
+                out["ae_floor_field_l2"] = decode_profile(z_true[:, 0])
             except FileNotFoundError:
                 pass  # codes without raw frames on disk: latent-only eval
         return out

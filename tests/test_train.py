@@ -638,6 +638,11 @@ class TestEvaluate:
         assert prof["rollout_steps"] == 4
         assert prof["scene"] == t_nn.codes.scenes[0]
         assert np.isfinite(prof["l2_median"]) and prof["l2_median"] > 0
+        # The AE-only floor profile rides along too: decoding the
+        # ground-truth codes of the same scene bounds any rollout score.
+        floor = r["ae_floor_field_l2"]
+        assert floor["scene"] == prof["scene"]
+        assert np.isfinite(floor["l2_median"]) and floor["l2_median"] > 0
 
         # --ae_load_path alone must wire the same decoder (VERDICT r3 #8:
         # no hand-built AE needed for routine field-space nn evals).

@@ -6,9 +6,14 @@ de = generated-vs-dataset field L2/rmse, ae = reconstruction + param MSE,
 nn = latent rollout error).  One process per run (compiles through the axon
 tunnel are slow).
 
-Usage: python tools/eval_run.py <run_dir> [num_samples] [note]
+Usage: python tools/eval_run.py <run_dir> [num_samples] [note] [--pool train]
+
+``--pool train`` overrides the run's --eval_holdout_scenes so a
+holdout-configured run can also be scored on its training pool (the
+generalization-gap diagnostic: train-vs-holdout on the same checkpoint).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -23,9 +28,15 @@ def main():
         print("usage: eval_run.py <run_dir> [num_samples] [note]",
               file=sys.stderr)
         raise SystemExit(2)
-    run_dir = sys.argv[1]
-    num_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    note = sys.argv[3] if len(sys.argv) > 3 else ""
+    args = list(sys.argv[1:])
+    pool = "holdout"
+    if "--pool" in args:
+        i = args.index("--pool")
+        pool = args[i + 1]
+        del args[i:i + 2]
+    run_dir = args[0]
+    num_samples = int(args[1]) if len(args) > 1 else 128
+    note = args[2] if len(args) > 2 else ""
 
     import jax
 
@@ -33,6 +44,10 @@ def main():
     from deepfluids_tpu.train.trainer import Trainer
 
     cfg = load_config(run_dir)
+    if pool == "train":
+        # evaluate() keys its pool off this: 0 -> uniform training-set
+        # sample (the record carries holdout=false accordingly).
+        cfg = dataclasses.replace(cfg, eval_holdout_scenes=0)
     t = Trainer(cfg, run_dir=run_dir, save_cfg=False)
     step = t.restore_checkpoint()
     r = t.evaluate(num_samples=num_samples)
