@@ -93,6 +93,14 @@ class Config:
                                     # training; Trainer.evaluate() samples
                                     # ONLY those scenes (a real held-out
                                     # quality number; de/ae archs)
+    augment_flip_x: bool = False    # mirror a random half of each train
+                                    # batch across x (u negated; *_x_pos
+                                    # params reflected) — every scene
+                                    # family here is x-symmetric, so this
+                                    # doubles effective scene variety for
+                                    # free (de/ae; beyond-reference).
+                                    # Exact-resume safe: the flip mask is
+                                    # a pure fn of (seed, step).
 
     # --- dims (0 -> read from manifest) ---
     is_3d: bool = False
@@ -192,8 +200,8 @@ def get_parser() -> argparse.ArgumentParser:
                     "w_num", "remat_rollout", "nn_noise"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "input_pipeline",
-                 "eval_holdout_scenes", "is_3d", "res_x", "res_y",
-                 "res_z"],
+                 "eval_holdout_scenes", "augment_flip_x", "is_3d",
+                 "res_x", "res_y", "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "grad_clip", "seed", "log_step", "test_step",
                   "save_step",

@@ -72,6 +72,10 @@ class Trainer:
         if save_cfg:
             save_config(config, self.run_dir)
         self.dtype = jnp.dtype(config.compute_dtype)
+        if config.augment_flip_x and config.arch == "nn":
+            raise ValueError("--augment_flip_x applies to arch de/ae "
+                             "(field-space training); the latent "
+                             "integrator trains on encoded codes")
 
         # --- data ---
         if config.arch in ("de", "ae"):
@@ -309,7 +313,34 @@ class Trainer:
                                  noise_std=c.nn_noise, rng=rng)
                 return losses.latent_window_loss(z_pred, z_seq, num_param)
 
+        aug_signs = None
+        if c.augment_flip_x:  # arch de/ae only (validated in __init__)
+            from deepfluids_tpu.train import augment
+
+            aug_signs = augment.flip_signs(self.manifest)
+            aug_key = jax.random.PRNGKey(c.seed ^ 0xF11B)
+            if (c.eval_holdout_scenes
+                    and self.manifest.param_counts
+                    and float(np.min(np.asarray(aug_signs[1]))) < 0):
+                # Grid-sampled x-position family: the mirror of a training
+                # scene IS the dataset's scene at the reflected position
+                # (deterministic x-symmetric solver), which may be a
+                # held-out scene -> the holdout stops measuring
+                # generalization (train/augment.py "Holdout caveat").
+                log.warning(
+                    "--augment_flip_x on a GRID-sampled x-position family "
+                    "with --eval_holdout_scenes: mirrored training scenes "
+                    "can coincide with held-out scenes (mirror-twin "
+                    "leakage); holdout numbers for this run measure "
+                    "coverage, not generalization")
+
         def step(state, a, b):
+            if aug_signs is not None:
+                # Mirror a random half of the batch across x (train-time
+                # only; pure fn of (seed, step) -> exact-resume safe).
+                a, b = augment.flip_x_batch(
+                    a, b, jax.random.fold_in(aug_key, state.step),
+                    *aug_signs)
             extra = (state.step,) if c.arch == "nn" else ()
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, a, b, *extra)

@@ -376,6 +376,124 @@ class TestDeviceDataCache:
         assert not any("device_data_cache" in m for m in warned)
 
 
+class TestAugmentFlipX:
+    """--augment_flip_x: the x-mirror is a symmetry of every scene family
+    (train/augment.py); the flip must be exact, physical, resume-safe."""
+
+    def _manifest(self, ranges=None):
+        class M:
+            num_channels = 2
+            data_type = "velocity"
+            num_param = 3
+            param_names = ["src_x_pos", "src_radius", "frame"]
+            param_ranges = ranges or [[0.2, 0.8], [0.04, 0.12], [0.0, 3.0]]
+        return M()
+
+    def test_signs_and_symmetry_validation(self):
+        from deepfluids_tpu.train.augment import flip_signs
+
+        chan, psign = flip_signs(self._manifest())
+        np.testing.assert_array_equal(np.asarray(chan), [-1.0, 1.0])
+        np.testing.assert_array_equal(np.asarray(psign), [-1.0, 1.0, 1.0])
+        # an x-position range NOT symmetric about the domain center makes
+        # the mirror a non-symmetry -> loud error, not silent corruption
+        with pytest.raises(ValueError, match="not symmetric"):
+            flip_signs(self._manifest(
+                ranges=[[0.1, 0.8], [0.04, 0.12], [0.0, 3.0]]))
+
+    def test_double_flip_is_identity(self):
+        from deepfluids_tpu.train.augment import flip_signs, flip_x_batch
+
+        chan, psign = flip_signs(self._manifest())
+        k = jax.random.key(3)
+        x = jax.random.normal(jax.random.key(0), (8, 6, 5, 2))
+        y = jax.random.normal(jax.random.key(1), (8, 3))
+        x1, y1 = flip_x_batch(x, y, k, chan, psign)
+        assert np.abs(np.asarray(x1 - x)).max() > 0   # mask mixed: some flip
+        x2, y2 = flip_x_batch(x1, y1, k, chan, psign)  # same rng, same mask
+        np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
+
+    def test_mirror_preserves_divergence_free(self):
+        from deepfluids_tpu.ops import fd
+
+        # Smooth stream function (real frames are smooth; white noise
+        # would make the O(h) forward<->backward difference gap as large
+        # as the field itself).
+        hh, ww = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        psi = jnp.asarray(np.sin(2 * np.pi * ww / 64)
+                          * np.sin(2 * np.pi * hh / 64),
+                          jnp.float32)[None, :, :, None]
+        v = fd.curl2d(psi)                           # discrete div-free
+        vf = jnp.flip(v, axis=-2) * jnp.asarray([-1.0, 1.0])
+        div = np.asarray(fd.divergence2d(vf))[:, 1:-1, 1:-1]
+        scale = float(np.abs(np.asarray(v)).mean())
+        # forward-diff becomes backward-diff under the mirror: equality is
+        # O(h) not exact, but a mirrored stream function is still the
+        # potential -> interior divergence stays at discretization noise
+        assert float(np.abs(div).mean()) < 0.2 * scale
+
+    def test_trains_and_resumes_bitwise(self, tiny_dataset, tmp_path):
+        kw = dict(augment_flip_x=True, device_data_cache=True,
+                  steps_per_call=2)
+        ca = tiny_config(tiny_dataset, str(tmp_path), tag="augfull", **kw)
+        ta = Trainer(ca)
+        aux = ta.train(num_steps=12)
+        assert np.isfinite(aux["loss"])
+        pa = jax.device_get(ta.state.params)
+
+        cb = tiny_config(tiny_dataset, str(tmp_path), tag="augint", **kw)
+        tb = Trainer(cb)
+        tb.train(num_steps=6)
+        tb.save_checkpoint(wait=True)
+        tc = Trainer(cb, run_dir=tb.run_dir, save_cfg=False)
+        assert tc.restore_checkpoint() == 6
+        tc.train(num_steps=6)
+        pc = jax.device_get(tc.state.params)
+        jax.tree.map(np.testing.assert_array_equal, pa, pc)
+
+    def test_changes_training_but_not_eval(self, tiny_dataset, tmp_path):
+        # The augmented stream must differ from the unaugmented one (it
+        # actually flips), while evaluate() stays augmentation-free and
+        # comparable across runs.
+        c0 = tiny_config(tiny_dataset, str(tmp_path), tag="noaug")
+        c1 = tiny_config(tiny_dataset, str(tmp_path), tag="aug",
+                         augment_flip_x=True)
+        t0, t1 = Trainer(c0), Trainer(c1)
+        t0.train(num_steps=4)
+        t1.train(num_steps=4)
+        d = [float(np.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(jax.device_get(t0.state.params)),
+            jax.tree.leaves(jax.device_get(t1.state.params)))]
+        assert max(d) > 0
+
+    def test_grid_family_holdout_leakage_warns(self, tiny_dataset,
+                                               tmp_path, monkeypatch):
+        # tiny_smoke is grid-sampled (param_counts set) with an x_pos
+        # param: augment + holdout -> mirror-twin leakage warning.
+        import deepfluids_tpu.train.trainer as trmod
+
+        warned: list[str] = []
+        monkeypatch.setattr(trmod.log, "warning",
+                            lambda msg, *a: warned.append(msg % a))
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="augleak",
+                        augment_flip_x=True, eval_holdout_scenes=1)
+        Trainer(c)
+        assert any("mirror-twin" in m for m in warned)
+        # no holdout -> no warning
+        warned.clear()
+        c2 = tiny_config(tiny_dataset, str(tmp_path), tag="augleak2",
+                         augment_flip_x=True)
+        Trainer(c2)
+        assert not any("mirror-twin" in m for m in warned)
+
+    def test_nn_arch_rejected(self, tiny_dataset, tmp_path):
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="augnn",
+                        arch="nn", augment_flip_x=True)
+        with pytest.raises(ValueError, match="augment_flip_x"):
+            Trainer(c)
+
+
 class TestGeometryValidation:
     def test_res_flag_mismatch_raises(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="geo", res_x=64)
