@@ -93,6 +93,11 @@ class Config:
                                     # training; Trainer.evaluate() samples
                                     # ONLY those scenes (a real held-out
                                     # quality number; de/ae archs)
+    code_suffix: str = ""           # latent-code set name suffix: the AE
+                                    # encode pass writes (and arch nn
+                                    # reads) <dataset>/code<z_num><suffix>
+                                    # — lets codes from different AEs of
+                                    # the same z_num coexist
     augment_flip_x: bool = False    # mirror a random half of each train
                                     # batch across x (u negated; *_x_pos
                                     # params reflected) — every scene
@@ -200,8 +205,8 @@ def get_parser() -> argparse.ArgumentParser:
                     "w_num", "remat_rollout", "nn_noise"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "input_pipeline",
-                 "eval_holdout_scenes", "augment_flip_x", "is_3d",
-                 "res_x", "res_y", "res_z"],
+                 "eval_holdout_scenes", "code_suffix", "augment_flip_x",
+                 "is_3d", "res_x", "res_y", "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "grad_clip", "seed", "log_step", "test_step",
                   "save_step",

@@ -215,7 +215,7 @@ class BatchManager:
 class CodeDataset:
     """Latent-code sequences for the integrator (arch "nn").
 
-    Reads ``data/<name>/code<z_num>/<scene>.npz`` files written by the AE
+    Reads ``data/<name>/code<z_num><suffix>/<scene>.npz`` files written by the AE
     encode pass (SURVEY.md §3.3): per scene, ``z = [T, z_num]`` (already in
     the AE's latent space, front dims = normalized params) and
     ``p = [T, num_param]`` raw params.
@@ -231,10 +231,10 @@ class CodeDataset:
     """
 
     def __init__(self, dataset_dir: str, z_num: int, seed: int = 0,
-                 holdout_scenes: int = 0):
+                 holdout_scenes: int = 0, suffix: str = ""):
         self.seed = seed
         self.manifest = load_manifest(dataset_dir)
-        self.code_dir = os.path.join(dataset_dir, f"code{z_num}")
+        self.code_dir = os.path.join(dataset_dir, f"code{z_num}{suffix}")
         files = sorted(glob.glob(os.path.join(self.code_dir, "*.npz")))
         if not files:
             raise FileNotFoundError(f"no code files under {self.code_dir}")

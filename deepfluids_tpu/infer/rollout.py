@@ -30,10 +30,11 @@ def encode_dataset(
     z_num: int,
     batch_size: int = 32,
     field_key: str = "v",
+    suffix: str = "",
 ) -> str:
     """Encode every frame of a dataset into per-scene latent sequences.
 
-    Writes ``<dataset_dir>/code<z_num>/<scene>.npz`` with keys ``z``
+    Writes ``<dataset_dir>/code<z_num><suffix>/<scene>.npz`` with keys ``z``
     ([T, z_num], the AE latent with front dims ≈ normalized params) and
     ``p`` ([T, num_param], RAW params) — the contract CodeDataset reads
     (SURVEY.md §3.3 'code' set).
@@ -60,7 +61,7 @@ def encode_dataset(
             continue
         scenes[m.group(1)].append((int(m.group(2)), fp))
 
-    out_dir = os.path.join(dataset_dir, f"code{z_num}")
+    out_dir = os.path.join(dataset_dir, f"code{z_num}{suffix}")
     os.makedirs(out_dir, exist_ok=True)
     for scene, frames in scenes.items():
         frames.sort()

@@ -111,7 +111,8 @@ def main(config: Config) -> dict:
 
         code_dir = encode_dataset(trainer.encode, config.dataset_dir,
                                   config.z_num,
-                                  batch_size=config.test_batch_size)
+                                  batch_size=config.test_batch_size,
+                                  suffix=config.code_suffix)
         log.info("encoded dataset -> %s", code_dir)
         return {"code_dir": code_dir}
     # --- arch nn: latent rollout + AE decode (SURVEY §3.4 test path) ---

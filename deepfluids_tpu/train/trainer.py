@@ -94,7 +94,8 @@ class Trainer:
             # training, and _evaluate_nn rolls out only held-out scenes.
             self.codes = CodeDataset(config.dataset_dir, config.z_num,
                                      seed=config.seed,
-                                     holdout_scenes=config.eval_holdout_scenes)
+                                     holdout_scenes=config.eval_holdout_scenes,
+                                     suffix=config.code_suffix)
             self.manifest = self.codes.manifest
         if config.input_pipeline == "grain":
             if config.arch not in ("de", "ae"):

@@ -201,3 +201,31 @@ class TestEncodeDatasetRobustness:
                                                     np.float32), ds, 4)
         assert any("contract" in str(w.message) for w in rec)
         assert os.path.exists(os.path.join(out, "0.npz"))
+
+    def test_code_suffix_roundtrip(self, tmp_path):
+        # Codes from different AEs of the same z_num coexist via suffix:
+        # encode writes code<z><suffix>/ and CodeDataset reads it back.
+        from deepfluids_tpu.data.dataset import CodeDataset
+        from deepfluids_tpu.data.manifest import Manifest, save_manifest
+        from deepfluids_tpu.infer import encode_dataset
+
+        ds = str(tmp_path / "ds")
+        os.makedirs(os.path.join(ds, "v"))
+        for f in range(3):
+            np.savez_compressed(
+                os.path.join(ds, "v", f"0_{f}.npz"),
+                x=np.zeros((8, 8, 2), np.float32),
+                y=np.array([0.5, 0.5, float(f)]))
+        save_manifest(Manifest(
+            param_names=["a", "b", "frame"],
+            param_ranges=[[0, 1], [0, 1], [0, 2]], num_scenes=1,
+            num_frames=3, resolution=[8, 8], num_channels=2,
+            v_range=[-1, 1]), ds)
+        enc = lambda b: np.ones((b.shape[0], 4), np.float32)
+        out = encode_dataset(enc, ds, 4, suffix="_aug")
+        assert out.endswith("code4_aug")
+        cd = CodeDataset(ds, 4, suffix="_aug")
+        assert cd.code_dir.endswith("code4_aug")
+        assert cd.z[0].shape == (3, 4)
+        with pytest.raises(FileNotFoundError):
+            CodeDataset(ds, 4)          # unsuffixed set was never written

@@ -59,7 +59,8 @@ def main(argv: list[str]) -> dict:
     # The rolled-out scene is the first code scene: lexicographically first
     # code file stem (encode_dataset writes one npz per scene prefix).
     code_files = sorted(glob.glob(
-        os.path.join(ds_dir, f"code{cfg.z_num}", "*.npz")))
+        os.path.join(ds_dir, f"code{cfg.z_num}{cfg.code_suffix}",
+                     "*.npz")))
     scene = os.path.basename(code_files[0])[:-4]
 
     from deepfluids_tpu.infer.score import score_rollout_vs_sim
