@@ -703,7 +703,8 @@ class Trainer:
             self._ckpt_mgr.wait_until_finished()
         return last_aux
 
-    def evaluate(self, num_samples: int = 64, decode_fn=None) -> dict:
+    def evaluate(self, num_samples: int = 64, decode_fn=None,
+                 profile_scenes: int = 1) -> dict:
         """Model-quality metrics, repeatable per arch (the [B] parity
         metric applied to the MODEL, not the discretization):
 
@@ -716,7 +717,7 @@ class Trainer:
         from deepfluids_tpu.utils.parity import normalized_l2
 
         if self.c.arch == "nn":
-            return self._evaluate_nn(num_samples, decode_fn)
+            return self._evaluate_nn(num_samples, decode_fn, profile_scenes)
         # With --eval_holdout_scenes the eval pool is scenes the training
         # draws NEVER see (a true held-out number); otherwise it is a
         # uniform sample of the training set, and says so.
@@ -776,7 +777,8 @@ class Trainer:
             self._eval_ae = ae
         return self._eval_ae.decode
 
-    def _evaluate_nn(self, num_samples: int, decode_fn=None) -> dict:
+    def _evaluate_nn(self, num_samples: int, decode_fn=None,
+                     profile_scenes: int = 1) -> dict:
         """Latent-rollout fidelity: advance each sampled scene's code from
         z_0 over its FULL trajectory (not just the training window w) and
         compare to the AE-encoded ground truth.  With
@@ -825,11 +827,10 @@ class Trainer:
             # chunks (one compile shape) and compare in RAW units.
             from deepfluids_tpu.infer.score import score_rollout_vs_sim
 
-            scene = self.codes.scenes[int(idx[0])]
             fk = ("l" if self.manifest.data_type == "levelset" else "v")
             bs = max(1, self.c.test_batch_size)
 
-            def decode_profile(zs):             # [T, z] -> drift profile
+            def decode_profile(zs, scene):      # [T, z] -> drift profile
                 pad = (-len(zs)) % bs
                 zp = (np.concatenate([zs, np.repeat(zs[-1:], pad, 0)])
                       if pad else zs)
@@ -841,12 +842,36 @@ class Trainer:
                     self.c.dataset_dir, scene, field_key=fk)
 
             try:
-                out["rollout_field_l2"] = decode_profile(traj[:, 0])
-                # The AE-only floor on the SAME scene: decoding the
+                # Profile up to `profile_scenes` rolled-out scenes (the
+                # default 1 keeps routine evals cheap; the final record
+                # should aggregate over the whole holdout pool).  Each
+                # scene also gets its AE-only floor — decoding the
                 # ground-truth codes separates how much of the rollout
                 # error is the integrator drifting vs the AE's own
                 # reconstruction limit at each horizon.
-                out["ae_floor_field_l2"] = decode_profile(z_true[:, 0])
+                profs, floors = [], []
+                for k in range(min(max(1, profile_scenes), len(idx))):
+                    scene = self.codes.scenes[int(idx[k])]
+                    profs.append(decode_profile(traj[:, k], scene))
+                    floors.append(decode_profile(z_true[:, k], scene))
+                out["rollout_field_l2"] = profs[0]
+                out["ae_floor_field_l2"] = floors[0]
+                if len(profs) > 1:
+                    out["rollout_field_l2_scenes"] = profs
+                    out["ae_floor_field_l2_scenes"] = floors
+                    agg = lambda ps, key: float(np.median(
+                        [p[key] for p in ps]))
+                    out["rollout_field_l2_agg"] = {
+                        "num_scenes": len(profs),
+                        "l2_median": agg(profs, "l2_median"),
+                        "l2_firstq_median": agg(profs, "l2_firstq_median"),
+                        "l2_lastq_median": agg(profs, "l2_lastq_median"),
+                        "floor_l2_median": agg(floors, "l2_median"),
+                        "floor_l2_firstq_median": agg(
+                            floors, "l2_firstq_median"),
+                        "floor_l2_lastq_median": agg(
+                            floors, "l2_lastq_median"),
+                    }
             except FileNotFoundError:
                 pass  # codes without raw frames on disk: latent-only eval
         return out

@@ -762,6 +762,17 @@ class TestEvaluate:
         assert floor["scene"] == prof["scene"]
         assert np.isfinite(floor["l2_median"]) and floor["l2_median"] > 0
 
+        # Multi-scene profiling aggregates medians over the scene pool.
+        rm = t_nn.evaluate(num_samples=2, decode_fn=t_ae.decode,
+                           profile_scenes=2)
+        assert len(rm["rollout_field_l2_scenes"]) == 2
+        assert (rm["rollout_field_l2_scenes"][0]["scene"]
+                != rm["rollout_field_l2_scenes"][1]["scene"])
+        agg = rm["rollout_field_l2_agg"]
+        assert agg["num_scenes"] == 2
+        assert np.isfinite(agg["l2_median"])
+        assert np.isfinite(agg["floor_l2_median"])
+
         # --ae_load_path alone must wire the same decoder (VERDICT r3 #8:
         # no hand-built AE needed for routine field-space nn evals).
         # (train() already checkpointed t_ae at its final step.)

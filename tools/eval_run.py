@@ -6,7 +6,13 @@ de = generated-vs-dataset field L2/rmse, ae = reconstruction + param MSE,
 nn = latent rollout error).  One process per run (compiles through the axon
 tunnel are slow).
 
-Usage: python tools/eval_run.py <run_dir> [num_samples] [note] [--pool train]
+Usage: python tools/eval_run.py <run_dir> [num_samples] [note]
+           [--pool train] [--profile_scenes N]
+
+``--profile_scenes N`` (arch nn): decode + score the rollout drift
+profile (and its AE floor) for the first N evaluated scenes instead of
+just one, with medians-of-medians aggregated under
+``rollout_field_l2_agg``.
 
 ``--pool train`` overrides the run's --eval_holdout_scenes so a
 holdout-configured run can also be scored on its training pool (the
@@ -30,9 +36,14 @@ def main():
         raise SystemExit(2)
     args = list(sys.argv[1:])
     pool = "holdout"
+    profile_scenes = 1
     if "--pool" in args:
         i = args.index("--pool")
         pool = args[i + 1]
+        del args[i:i + 2]
+    if "--profile_scenes" in args:
+        i = args.index("--profile_scenes")
+        profile_scenes = int(args[i + 1])
         del args[i:i + 2]
     run_dir = args[0]
     num_samples = int(args[1]) if len(args) > 1 else 128
@@ -50,7 +61,7 @@ def main():
         cfg = dataclasses.replace(cfg, eval_holdout_scenes=0)
     t = Trainer(cfg, run_dir=run_dir, save_cfg=False)
     step = t.restore_checkpoint()
-    r = t.evaluate(num_samples=num_samples)
+    r = t.evaluate(num_samples=num_samples, profile_scenes=profile_scenes)
     rec = {"metric": f"eval_{cfg.arch}", "run": os.path.basename(run_dir),
            "step": int(step), **r, "note": note,
            "backend": jax.default_backend(),
