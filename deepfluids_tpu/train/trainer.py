@@ -84,18 +84,21 @@ class Trainer:
                 config.dataset_dir, config.batch_size, seed=config.seed,
                 cache=config.cache_data, num_workers=config.num_worker,
                 field_key=field_key,
-                holdout_scenes=config.eval_holdout_scenes)
+                holdout_scenes=config.eval_holdout_scenes,
+                holdout_mode=config.holdout_mode)
             self.manifest = self.bm.manifest
         else:  # nn
-            # Scene-level holdout mirrors BatchManager's (LAST N scenes in
-            # sorted order — the SAME set the AE held out when trained with
-            # the same flag), so the whole cfg-4 pipeline partitions
-            # consistently: held-out scenes' windows never enter integrator
-            # training, and _evaluate_nn rolls out only held-out scenes.
+            # Scene-level holdout mirrors BatchManager's (same
+            # select_holdout_keys rule — the SAME set the AE held out when
+            # trained with the same flags), so the whole cfg-4 pipeline
+            # partitions consistently: held-out scenes' windows never enter
+            # integrator training, and _evaluate_nn rolls out only
+            # held-out scenes.
             self.codes = CodeDataset(config.dataset_dir, config.z_num,
                                      seed=config.seed,
                                      holdout_scenes=config.eval_holdout_scenes,
-                                     suffix=config.code_suffix)
+                                     suffix=config.code_suffix,
+                                     holdout_mode=config.holdout_mode)
             self.manifest = self.codes.manifest
         if config.input_pipeline == "grain":
             if config.arch not in ("de", "ae"):
@@ -611,7 +614,7 @@ class Trainer:
                     "streaming batches to the %s backend (~%.1f MB/call "
                     "host->device): strongly prefer --device_data_cache "
                     "true (+ --cache_dtype float16 if HBM-tight) for any "
-                    "long run", jax.default_backend(), per_call / 1e6)
+                    "long run", _default_backend(), per_call / 1e6)
             it = self._batches(num_steps, start_step=start_step)
 
         def crossed(period: int, step: int, take: int) -> bool:
@@ -704,7 +707,7 @@ class Trainer:
         return last_aux
 
     def evaluate(self, num_samples: int = 64, decode_fn=None,
-                 profile_scenes: int = 1) -> dict:
+                 profile_scenes: int = 1, pool: str = "auto") -> dict:
         """Model-quality metrics, repeatable per arch (the [B] parity
         metric applied to the MODEL, not the discretization):
 
@@ -713,16 +716,25 @@ class Trainer:
           nn: full-trajectory latent rollout error vs ground-truth codes
               (z MAE / final-step MAE); with ``decode_fn`` (z -> field,
               e.g. a trained AE's Trainer.decode) also field-space rmse.
+
+        ``pool``: "auto" (holdout scenes when --eval_holdout_scenes is set,
+        else the full dataset) or "train" (strictly the training subset —
+        the generalization-gap counterpart; with a holdout configured this
+        EXCLUDES the held-out scenes, unlike the old eval_holdout_scenes=0
+        override which contaminated "train-pool" numbers with them).
         """
         from deepfluids_tpu.utils.parity import normalized_l2
 
         if self.c.arch == "nn":
-            return self._evaluate_nn(num_samples, decode_fn, profile_scenes)
+            return self._evaluate_nn(num_samples, decode_fn, profile_scenes,
+                                     pool)
         # With --eval_holdout_scenes the eval pool is scenes the training
         # draws NEVER see (a true held-out number); otherwise it is a
         # uniform sample of the training set, and says so.
-        holdout = bool(self.c.eval_holdout_scenes)
-        pool = self.bm.eval_indices if holdout else np.arange(len(self.bm.ds))
+        holdout = bool(self.c.eval_holdout_scenes) and pool != "train"
+        pool = (self.bm.train_indices if pool == "train"
+                else self.bm.eval_indices if holdout
+                else np.arange(len(self.bm.ds)))
         n = len(pool)
         idx = pool[np.linspace(0, n - 1, min(num_samples, n)).astype(int)]
         xs, ys = zip(*[self.bm.ds.get_normalized(int(i)) for i in idx])
@@ -778,7 +790,7 @@ class Trainer:
         return self._eval_ae.decode
 
     def _evaluate_nn(self, num_samples: int, decode_fn=None,
-                     profile_scenes: int = 1) -> dict:
+                     profile_scenes: int = 1, pool: str = "auto") -> dict:
         """Latent-rollout fidelity: advance each sampled scene's code from
         z_0 over its FULL trajectory (not just the training window w) and
         compare to the AE-encoded ground truth.  With
@@ -790,8 +802,9 @@ class Trainer:
         and the ``rollout_field_l2`` drift profile vs the SIMULATED frames
         — computed by the same infer.score code path as
         tools/rollout_eval.py (one metric, one implementation)."""
-        holdout = bool(self.c.eval_holdout_scenes)
-        pool = (self.codes.eval_scene_indices if holdout
+        holdout = bool(self.c.eval_holdout_scenes) and pool != "train"
+        pool = (self.codes.train_scene_indices if pool == "train"
+                else self.codes.eval_scene_indices if holdout
                 else np.arange(self.codes.num_scenes))
         idx = pool[np.linspace(0, len(pool) - 1,
                                min(num_samples, len(pool))).astype(int)]
@@ -841,19 +854,27 @@ class Trainer:
                     self.manifest.denormalize_field(dec),
                     self.c.dataset_dir, scene, field_key=fk)
 
-            try:
-                # Profile up to `profile_scenes` rolled-out scenes (the
-                # default 1 keeps routine evals cheap; the final record
-                # should aggregate over the whole holdout pool).  Each
-                # scene also gets its AE-only floor — decoding the
-                # ground-truth codes separates how much of the rollout
-                # error is the integrator drifting vs the AE's own
-                # reconstruction limit at each horizon.
-                profs, floors = [], []
-                for k in range(min(max(1, profile_scenes), len(idx))):
-                    scene = self.codes.scenes[int(idx[k])]
-                    profs.append(decode_profile(traj[:, k], scene))
-                    floors.append(decode_profile(z_true[:, k], scene))
+            # Profile up to `profile_scenes` rolled-out scenes (the
+            # default 1 keeps routine evals cheap; the final record
+            # should aggregate over the whole holdout pool).  Each
+            # scene also gets its AE-only floor — decoding the
+            # ground-truth codes separates how much of the rollout
+            # error is the integrator drifting vs the AE's own
+            # reconstruction limit at each horizon.  The
+            # FileNotFoundError guard is PER SCENE: a code set whose
+            # later scenes lack raw frames on disk must not discard the
+            # profiles already computed (r4 ADVICE).
+            profs, floors = [], []
+            for k in range(min(max(1, profile_scenes), len(idx))):
+                scene = self.codes.scenes[int(idx[k])]
+                try:
+                    prof = decode_profile(traj[:, k], scene)
+                    floor = decode_profile(z_true[:, k], scene)
+                except FileNotFoundError:
+                    continue  # scene without raw frames: latent-only
+                profs.append(prof)
+                floors.append(floor)
+            if profs:
                 out["rollout_field_l2"] = profs[0]
                 out["ae_floor_field_l2"] = floors[0]
                 if len(profs) > 1:
@@ -872,8 +893,6 @@ class Trainer:
                         "floor_l2_lastq_median": agg(
                             floors, "l2_lastq_median"),
                     }
-            except FileNotFoundError:
-                pass  # codes without raw frames on disk: latent-only eval
         return out
 
     def maybe_resume(self) -> int:
@@ -952,15 +971,30 @@ class Trainer:
             # Without this fallback a supervised run loops restore-crash
             # forever (r4: 3h of outage retries on cfg5's clip restart).
             log.warning("full TrainState restore failed (%s); falling back "
-                        "to params-only restore with a FRESH optimizer "
-                        "state", str(e).splitlines()[0])
+                        "to params-only restore with FRESH Adam moments "
+                        "(mu/nu reset; LR-schedule position is preserved by "
+                        "seeding the optimizer step counts from the restored "
+                        "step)", str(e).splitlines()[0])
             raw = mgr.restore(step)
             params = jax.tree_util.tree_map(
                 lambda t, s: jnp.asarray(s, dtype=t.dtype),
                 self.state.params, raw["params"])
+            restored_step = int(raw["step"])
+            # tx.init gives count=0 everywhere, and the cosine LR schedule
+            # is driven by the optimizer's count (optax.adam(learning_rate=
+            # schedule)), NOT by state.step — so without this a late-run
+            # fallback resume would silently restart the schedule at lr_max
+            # and train the remaining steps at ~100x the intended LR.
+            # Seed every `count` leaf (ScaleByAdamState / ScaleByScheduleState)
+            # with the restored step instead.
+            def _seed_count(path, leaf):
+                if path and getattr(path[-1], "name", None) == "count":
+                    return jnp.asarray(restored_step, dtype=leaf.dtype)
+                return leaf
+            opt_state = jax.tree_util.tree_map_with_path(
+                _seed_count, self.state.tx.init(params))
             self.state = self.state.replace(
-                params=params, opt_state=self.state.tx.init(params),
-                step=int(raw["step"]))
+                params=params, opt_state=opt_state, step=restored_step)
         self.state = jax.device_put(self.state, self._state_sharding)
         return int(step)
 

@@ -691,6 +691,16 @@ class TestExactResume:
         assert tb.restore_checkpoint() == 4          # params-only fallback
         pb = jax.device_get(tb.state.params)
         jax.tree.map(np.testing.assert_array_equal, pa, pb)
+        # The fresh optimizer must NOT restart the cosine LR schedule:
+        # optax.adam's schedule position is its `count`, not state.step, so
+        # every count leaf must be seeded with the restored step (r4 ADVICE:
+        # an 80k-of-100k fallback resume otherwise trains at ~lr_max).
+        counts = [leaf for path, leaf in
+                  jax.tree_util.tree_flatten_with_path(tb.state.opt_state)[0]
+                  if path and getattr(path[-1], "name", None) == "count"]
+        assert counts, "no count leaves found in opt_state"
+        for cnt in counts:
+            assert int(cnt) == 4
         aux = tb.train(num_steps=2)                  # trains on clean opt
         assert np.isfinite(aux["loss"])
         assert int(tb.state.step) == 6
@@ -876,6 +886,92 @@ class TestEvalHoldout:
             BatchManager(os.path.join(tiny_dataset, "tiny_smoke"), 8,
                          holdout_scenes=-1)
 
+    def test_select_holdout_keys_modes(self):
+        from deepfluids_tpu.data.dataset import select_holdout_keys
+
+        keys = [f"{p}_{s}" for p in range(5) for s in range(4)]
+        # edge: lexically-last N (historical behavior, bit-compat)
+        assert select_holdout_keys(keys, 2) == set(sorted(keys)[-2:])
+        assert select_holdout_keys(keys, 0, "interior") == set()
+        # interior: never touches a grid boundary in ANY dimension
+        held = select_holdout_keys(keys, 3, "interior")
+        assert len(held) == 3
+        for k in held:
+            p, s = map(int, k.split("_"))
+            assert 0 < p < 4 and 0 < s < 3
+        # deterministic
+        assert held == select_holdout_keys(list(reversed(keys)), 3,
+                                           "interior")
+        # interior pool for 5x4 grid is 3x2=6; asking for more raises
+        with pytest.raises(ValueError, match="interior"):
+            select_holdout_keys(keys, 7, "interior")
+        with pytest.raises(ValueError, match="holdout_mode"):
+            select_holdout_keys(keys, 2, "middle")
+        # non-grid keys (random-trajectory families): evenly spaced
+        # non-endpoint fallback
+        rkeys = [f"scene{i:03d}" for i in range(10)]
+        held = select_holdout_keys(rkeys, 2, "interior")
+        assert len(held) == 2
+        assert rkeys[0] not in held and rkeys[-1] not in held
+
+    def test_interior_holdout_partitions(self, tmp_path):
+        # 4x3 grid -> interior pool is 2x1 (pos in {1,2}, size=1).
+        root = tmp_path / "data"
+        scenes.smoke_pos21_size5(str(root), num_pos=4, num_size=3,
+                                 num_frames=3, height=16, width=16,
+                                 name="grid43")
+        from deepfluids_tpu.data.dataset import BatchManager
+
+        bm = BatchManager(os.path.join(str(root), "grid43"), 4, seed=0,
+                          holdout_scenes=2, holdout_mode="interior")
+        keys = bm.ds.scene_keys
+        held_keys = {keys[i] for i in bm.eval_indices}
+        assert held_keys == {"1_1", "2_1"}
+        assert set(bm.train_indices).isdisjoint(set(bm.eval_indices))
+        for step in range(1, 10):    # training draws avoid held scenes
+            idx = bm.train_indices[
+                np.arange(len(bm.train_indices))]  # all train frames
+            assert held_keys.isdisjoint({keys[i] for i in idx})
+
+    def test_code_dataset_interior_holdout(self, tmp_path):
+        # CodeDataset with interior holdout: held scenes never sampled by
+        # window_batch; edge mode keeps the historical identity mapping.
+        from deepfluids_tpu.data.dataset import CodeDataset
+        from deepfluids_tpu.data.manifest import Manifest, save_manifest
+
+        root = tmp_path / "codes_ds"
+        code_dir = root / "code4"
+        code_dir.mkdir(parents=True)
+        save_manifest(Manifest(
+            param_names=["p", "frame"],
+            param_ranges=[[0.0, 3.0], [0.0, 5.0]],
+            num_scenes=12, num_frames=6, resolution=[4, 4],
+            num_channels=2, v_range=[-1.0, 1.0]), str(root))
+        rng = np.random.default_rng(0)
+        for p in range(4):
+            for s in range(3):
+                np.savez(code_dir / f"{p}_{s}.npz",
+                         z=rng.normal(size=(6, 4)).astype(np.float32),
+                         p=np.stack([np.full(6, float(p)),
+                                     np.arange(6, dtype=np.float32)], 1))
+        cd = CodeDataset(str(root), 4, seed=0, holdout_scenes=2,
+                         holdout_mode="interior")
+        held = {cd.scenes[i] for i in cd.eval_scene_indices}
+        assert held == {"1_1", "2_1"}
+        assert cd.num_train_scenes == 10
+        # sampled scene indices stay in train_scene_indices (the draw
+        # inside window_batch maps through it — replicate step 3's stream)
+        rng = np.random.default_rng((0, 3))
+        for _ in range(50):
+            s = int(cd.train_scene_indices[
+                rng.integers(0, cd.num_train_scenes)])
+            assert cd.scenes[s] not in held
+        # edge mode on the same set: train_scene_indices is the identity
+        cd_e = CodeDataset(str(root), 4, seed=0, holdout_scenes=2,
+                           holdout_mode="edge")
+        np.testing.assert_array_equal(
+            cd_e.train_scene_indices, np.arange(cd_e.num_train_scenes))
+
     def test_trainer_evaluates_holdout(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="hold",
                         eval_holdout_scenes=1, device_data_cache=True,
@@ -887,6 +983,22 @@ class TestEvalHoldout:
         # every evaluated frame comes from the held-out scene set
         assert r["num_samples"] <= len(t.bm.eval_indices)
         assert np.isfinite(r["l2_mean"])
+        # pool="train" must sample STRICTLY the training subset — the old
+        # eval_holdout_scenes=0 override sampled the full pool, so
+        # "train-pool" gap diagnostics were contaminated by holdout
+        # scenes (r4 ADVICE).  Record which dataset indices get fetched.
+        fetched = []
+        orig = t.bm.ds.get_normalized
+        t.bm.ds.get_normalized = lambda i: (fetched.append(int(i)),
+                                            orig(i))[1]
+        try:
+            rt = t.evaluate(num_samples=8, pool="train")
+        finally:
+            t.bm.ds.get_normalized = orig
+        assert rt["holdout"] is False
+        held = set(int(i) for i in t.bm.eval_indices)
+        assert fetched and held.isdisjoint(fetched)
+        assert np.isfinite(rt["l2_mean"])
 
     def test_nn_holdout_partitions_pipeline(self, tiny_dataset, tmp_path):
         # AE (holdout 1) -> encode ALL scenes -> integrator with the SAME
@@ -923,6 +1035,11 @@ class TestEvalHoldout:
         assert r["holdout"] is True
         assert r["num_samples"] == 1  # exactly the held-out scene pool
         assert np.isfinite(r["z_mae"])
+        # train-pool counterpart: only the n-1 training scenes
+        rt = t_nn.evaluate(num_samples=n, pool="train")
+        assert rt["holdout"] is False
+        assert rt["num_samples"] == n - 1
+        assert np.isfinite(rt["z_mae"])
 
         # negative / too-large holdouts reject cleanly (same guard as
         # BatchManager; codes exist here from the encode pass above)

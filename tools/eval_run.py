@@ -14,12 +14,14 @@ profile (and its AE floor) for the first N evaluated scenes instead of
 just one, with medians-of-medians aggregated under
 ``rollout_field_l2_agg``.
 
-``--pool train`` overrides the run's --eval_holdout_scenes so a
-holdout-configured run can also be scored on its training pool (the
+``--pool train`` scores the run on its TRAINING pool (the
 generalization-gap diagnostic: train-vs-holdout on the same checkpoint).
+The run's --eval_holdout_scenes stays in force: held-out scenes are
+EXCLUDED from the pool (the old implementation zeroed the holdout, which
+contaminated "train-pool" numbers with the holdout scenes — r4 ADVICE).
 """
 
-import dataclasses
+import argparse
 import json
 import os
 import sys
@@ -30,40 +32,30 @@ sys.path.insert(0, ROOT)
 
 
 def main():
-    if len(sys.argv) < 2:
-        print("usage: eval_run.py <run_dir> [num_samples] [note]",
-              file=sys.stderr)
-        raise SystemExit(2)
-    args = list(sys.argv[1:])
-    pool = "holdout"
-    profile_scenes = 1
-    if "--pool" in args:
-        i = args.index("--pool")
-        pool = args[i + 1]
-        del args[i:i + 2]
-    if "--profile_scenes" in args:
-        i = args.index("--profile_scenes")
-        profile_scenes = int(args[i + 1])
-        del args[i:i + 2]
-    run_dir = args[0]
-    num_samples = int(args[1]) if len(args) > 1 else 128
-    note = args[2] if len(args) > 2 else ""
+    ap = argparse.ArgumentParser(
+        description="Evaluate a run dir; append record to BENCHMARKS.jsonl")
+    ap.add_argument("run_dir")
+    ap.add_argument("num_samples", nargs="?", type=int, default=128)
+    ap.add_argument("note", nargs="?", default="")
+    ap.add_argument("--pool", choices=["auto", "train"], default="auto",
+                    help="'train' scores the training subset (holdout "
+                         "scenes excluded); default is the run's holdout "
+                         "pool when configured, else the full dataset")
+    ap.add_argument("--profile_scenes", type=int, default=1)
+    a = ap.parse_args()
 
     import jax
 
     from deepfluids_tpu.config import load_config
     from deepfluids_tpu.train.trainer import Trainer
 
-    cfg = load_config(run_dir)
-    if pool == "train":
-        # evaluate() keys its pool off this: 0 -> uniform training-set
-        # sample (the record carries holdout=false accordingly).
-        cfg = dataclasses.replace(cfg, eval_holdout_scenes=0)
-    t = Trainer(cfg, run_dir=run_dir, save_cfg=False)
+    cfg = load_config(a.run_dir)
+    t = Trainer(cfg, run_dir=a.run_dir, save_cfg=False)
     step = t.restore_checkpoint()
-    r = t.evaluate(num_samples=num_samples, profile_scenes=profile_scenes)
-    rec = {"metric": f"eval_{cfg.arch}", "run": os.path.basename(run_dir),
-           "step": int(step), **r, "note": note,
+    r = t.evaluate(num_samples=a.num_samples,
+                   profile_scenes=a.profile_scenes, pool=a.pool)
+    rec = {"metric": f"eval_{cfg.arch}", "run": os.path.basename(a.run_dir),
+           "step": int(step), **r, "note": a.note,
            "backend": jax.default_backend(),
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
