@@ -89,10 +89,17 @@ class Config:
                                     # reader; default) | "grain" (grain
                                     # DataLoader: worker-process prefetch +
                                     # per-host sharding for multi-host runs)
-    eval_holdout_scenes: int = 0    # >0: exclude the LAST N scenes from
-                                    # training; Trainer.evaluate() samples
-                                    # ONLY those scenes (a real held-out
-                                    # quality number; de/ae archs)
+    eval_holdout_scenes: int = 0    # >0: exclude N scenes from training;
+                                    # Trainer.evaluate() samples ONLY those
+                                    # scenes (a real held-out quality number)
+    holdout_mode: str = "edge"      # which N scenes --eval_holdout_scenes
+                                    # excludes: "edge" = lexically-last
+                                    # (param-box edge -> measures
+                                    # EXTRAPOLATION) | "interior" =
+                                    # stratified inner grid scenes
+                                    # (measures INTERPOLATION, the sweep
+                                    # use case; data.dataset.
+                                    # select_holdout_keys)
     code_suffix: str = ""           # latent-code set name suffix: the AE
                                     # encode pass writes (and arch nn
                                     # reads) <dataset>/code<z_num><suffix>
@@ -205,8 +212,8 @@ def get_parser() -> argparse.ArgumentParser:
                     "w_num", "remat_rollout", "nn_noise"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "input_pipeline",
-                 "eval_holdout_scenes", "code_suffix", "augment_flip_x",
-                 "is_3d", "res_x", "res_y", "res_z"],
+                 "eval_holdout_scenes", "holdout_mode", "code_suffix",
+                 "augment_flip_x", "is_3d", "res_x", "res_y", "res_z"],
         "train": ["is_train", "max_step", "lr_max", "lr_min", "beta1",
                   "beta2", "grad_clip", "seed", "log_step", "test_step",
                   "save_step",
@@ -229,6 +236,7 @@ def get_parser() -> argparse.ArgumentParser:
         "cache_dtype": ("float32", "float16"),
         "input_pipeline": ("native", "grain"),
         "decoder": ("be", "grid"),
+        "holdout_mode": ("edge", "interior"),
     }
     for gname, names in groups.items():
         g = p.add_argument_group(gname)

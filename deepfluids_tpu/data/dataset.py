@@ -119,6 +119,49 @@ class FieldDataset:
         )
 
 
+def select_holdout_keys(distinct: Sequence[str], n: int,
+                        mode: str = "edge") -> set:
+    """Pick the ``n`` held-out scene keys from the sorted distinct keys.
+
+    ``edge`` (historical default): the lexically-LAST n scenes.  For
+    grid-sampled parameter families (scene keys are grid-index tuples like
+    ``"<pos>_<size>"``) that is the parameter-box EDGE, so the holdout
+    number measures EXTRAPOLATION.
+
+    ``interior``: scenes whose every grid coordinate is strictly inside its
+    dimension's [min, max] (parsed from the key's ``_``-separated integer
+    coordinates), stratified by picking n evenly spaced entries of the
+    sorted interior pool.  Measures INTERPOLATION — the reference's actual
+    use case is sweeping inside the sampled box (SURVEY §4/§6; r4 VERDICT
+    missing #5 — edge holdouts conflated the two).
+
+    Keys without all-integer coordinates (e.g. random-trajectory families)
+    have no grid geometry: interior mode falls back to evenly spaced
+    non-endpoint keys, which at least avoids the lexical extremes.
+    """
+    distinct = sorted(distinct)
+    if mode == "edge" or n == 0:
+        return set(distinct[-n:]) if n else set()
+    if mode != "interior":
+        raise ValueError(f"holdout_mode must be edge|interior, got {mode!r}")
+    try:
+        coords = np.array([[int(c) for c in k.split("_")] for k in distinct])
+        if coords.ndim != 2:  # ragged coordinate counts
+            raise ValueError
+        lo, hi = coords.min(0), coords.max(0)
+        inner = [k for k, c in zip(distinct, coords)
+                 if np.all(c > lo) and np.all(c < hi)]
+    except ValueError:
+        inner = distinct[1:-1]
+    if n > len(inner):
+        raise ValueError(
+            f"holdout_mode=interior needs {n} interior scenes but this "
+            f"{len(distinct)}-scene dataset has only {len(inner)} "
+            "(grid too small, or scene keys are not grid coordinates)")
+    pick = np.round(np.linspace(0, len(inner) - 1, n)).astype(int)
+    return {inner[i] for i in pick}
+
+
 class BatchManager:
     """Random-batch sampler with thread-pool prefetch.
 
@@ -131,16 +174,19 @@ class BatchManager:
 
     def __init__(self, dataset_dir: str, batch_size: int, seed: int = 0,
                  cache: bool = True, num_workers: int = 8,
-                 field_key: str = "v", holdout_scenes: int = 0):
+                 field_key: str = "v", holdout_scenes: int = 0,
+                 holdout_mode: str = "edge"):
         self.ds = FieldDataset(dataset_dir, cache=cache, field_key=field_key)
         self.manifest = self.ds.manifest
         self.batch_size = batch_size
         self.seed = seed
         self.rng = np.random.default_rng(seed)
-        # Scene-level eval holdout: the LAST holdout_scenes distinct scenes
-        # (sorted key order) are excluded from training draws; evaluate()
-        # samples them instead.  With holdout_scenes=0, train_indices is
-        # the identity and the batch stream is bit-identical to always.
+        # Scene-level eval holdout: holdout_scenes distinct scenes — the
+        # lexically-last ("edge", extrapolation) or stratified interior
+        # grid scenes ("interior", interpolation; see select_holdout_keys)
+        # — are excluded from training draws; evaluate() samples them
+        # instead.  With holdout_scenes=0, train_indices is the identity
+        # and the batch stream is bit-identical to always.
         keys = self.ds.scene_keys
         distinct = sorted(set(keys))
         if holdout_scenes < 0 or holdout_scenes >= len(distinct):
@@ -150,7 +196,7 @@ class BatchManager:
                 f"eval_holdout_scenes={holdout_scenes} must be in "
                 f"[0, {len(distinct)}) for this {len(distinct)}-scene "
                 "dataset")
-        held = set(distinct[-holdout_scenes:]) if holdout_scenes else set()
+        held = select_holdout_keys(distinct, holdout_scenes, holdout_mode)
         self.train_indices = np.array(
             [i for i, k in enumerate(keys) if k not in held], np.int32)
         self.eval_indices = np.array(
@@ -231,7 +277,8 @@ class CodeDataset:
     """
 
     def __init__(self, dataset_dir: str, z_num: int, seed: int = 0,
-                 holdout_scenes: int = 0, suffix: str = ""):
+                 holdout_scenes: int = 0, suffix: str = "",
+                 holdout_mode: str = "edge"):
         self.seed = seed
         self.manifest = load_manifest(dataset_dir)
         self.code_dir = os.path.join(dataset_dir, f"code{z_num}{suffix}")
@@ -244,11 +291,22 @@ class CodeDataset:
             raise ValueError(
                 f"eval_holdout_scenes={holdout_scenes} must be in "
                 f"[0, {len(files)}) for this {len(files)}-scene code set")
-        self.num_train_scenes = len(files) - holdout_scenes
         # Scene stems (filename minus .npz) in file order — index-aligned
         # with self.z/self.p, so eval code can find each code sequence's
         # ground-truth frames (<scene>_<frame>.npz) on disk.
         self.scenes = [os.path.basename(fp)[:-4] for fp in files]
+        # Same holdout rule as BatchManager (one --eval_holdout_scenes /
+        # --holdout_mode pair partitions the whole cfg-4 pipeline).  In
+        # edge mode train_scene_indices is arange(n_train): window_batch
+        # draws map through it as the identity, so historical streams are
+        # preserved bit-for-bit.
+        held = select_holdout_keys(self.scenes, holdout_scenes, holdout_mode)
+        self.train_scene_indices = np.array(
+            [i for i, s in enumerate(self.scenes) if s not in held],
+            np.int32)
+        self._eval_scene_indices = np.array(
+            [i for i, s in enumerate(self.scenes) if s in held], np.int32)
+        self.num_train_scenes = len(self.train_scene_indices)
         self.z: list[np.ndarray] = []
         self.p: list[np.ndarray] = []
         for fp in files:
@@ -266,7 +324,7 @@ class CodeDataset:
     @property
     def eval_scene_indices(self) -> np.ndarray:
         """Indices of the held-out scenes (empty without a holdout)."""
-        return np.arange(self.num_train_scenes, len(self.z))
+        return self._eval_scene_indices
 
     def window_batch(self, batch_size: int, window: int,
                      step: int | None = None
@@ -284,7 +342,8 @@ class CodeDataset:
         rng = self.rng if step is None else step_rng(self.seed, step)
         zs, ps = [], []
         for _ in range(batch_size):
-            s = int(rng.integers(0, self.num_train_scenes))
+            s = int(self.train_scene_indices[
+                rng.integers(0, self.num_train_scenes)])
             t_max = self.z[s].shape[0] - window  # >= 0 (guarded above)
             t0 = int(rng.integers(0, t_max + 1))  # inclusive last start
             zs.append(self.z[s][t0:t0 + window])
