@@ -77,6 +77,17 @@ class Config:
                                # step — trains the integrator to contract
                                # its own prediction errors (long-horizon
                                # drift stabilizer; 0 = reference parity)
+    nn_field_w: float = 0.0    # >0: add w * field_loss(decode(z_pred),
+                               # decode(z_true)) through the FROZEN AE
+                               # decoder (--ae_load_path) on a subsample of
+                               # window steps — optimizes the integrator in
+                               # the metric that matters (decoded field
+                               # drift), not just latent MSE; latent dims
+                               # get reweighted by the decoder's jacobian
+                               # (r4 VERDICT #2 mechanism attack)
+    nn_field_frames: int = 4   # window positions decoded per step for
+                               # --nn_field_w (cost control: decodes
+                               # nn_field_frames x batch fields per step)
 
     # --- data ---
     data_dir: str = "data"
@@ -209,7 +220,8 @@ def get_parser() -> argparse.ArgumentParser:
                     "loss_norm", "embed_bands", "spectral_modes",
                     "decoder", "grid_levels", "grid_features", "grid_rank",
                     "nn_hidden", "nn_depth",
-                    "w_num", "remat_rollout", "nn_noise"],
+                    "w_num", "remat_rollout", "nn_noise",
+                    "nn_field_w", "nn_field_frames"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "input_pipeline",
                  "eval_holdout_scenes", "holdout_mode", "code_suffix",

@@ -302,6 +302,27 @@ class Trainer:
                 del aux["pred"]
                 return loss, aux
         else:  # nn — batch is (z_seq [W,B,z], p_seq [W,B,P])
+            decode_field = None
+            if c.nn_field_w > 0:
+                # --nn_field_w: train the integrator through the FROZEN AE
+                # decoder — field_loss(D(z_pred), D(z_true)) on a subsample
+                # of window positions.  The decoder params are captured as
+                # compile-time constants (~7M f32, well under the lowering
+                # limits CLAUDE.md warns about for multi-GB datasets) so
+                # value_and_grad never differentiates them.
+                ae = self._ae_trainer()
+                if ae is None:
+                    raise ValueError("--nn_field_w needs --ae_load_path "
+                                     "(the frozen decoder to train through)")
+                ae_model, ae_curl = ae.model, ae.curl_active
+                dec_params = jax.tree_util.tree_map(
+                    jnp.asarray, jax.device_get(ae.state.params))
+
+                def decode_field(z):
+                    out = ae_model.apply({"params": dec_params}, z,
+                                         method=ae_model.decode)
+                    return losses.apply_curl(out, fused) if ae_curl else out
+
             def loss_fn(params, z_seq, p_seq, step_num=0):
                 apply = lambda p, zf, dp: self.state.apply_fn(
                     {"params": p}, zf, dp)
@@ -315,7 +336,22 @@ class Trainer:
                 z_pred = rollout(apply, params, z_seq[0], p_seq, num_param,
                                  remat=c.remat_rollout,
                                  noise_std=c.nn_noise, rng=rng)
-                return losses.latent_window_loss(z_pred, z_seq, num_param)
+                loss, aux = losses.latent_window_loss(z_pred, z_seq,
+                                                      num_param)
+                if decode_field is not None:
+                    # Decode nn_field_frames evenly spaced window positions
+                    # (position 0 is the shared start state — excluded).
+                    w = z_pred.shape[0]
+                    k = int(min(max(1, c.nn_field_frames), w - 1))
+                    t_idx = np.linspace(1, w - 1, k).astype(int)
+                    zp = z_pred[t_idx].reshape(-1, z_pred.shape[-1])
+                    zt = z_seq[t_idx].reshape(-1, z_seq.shape[-1])
+                    fl, _ = losses.field_loss(
+                        decode_field(zp), decode_field(zt), c.w1, c.w2,
+                        fused, None, c.relative_loss, c.loss_norm)
+                    loss = loss + c.nn_field_w * fl
+                    aux = dict(aux, loss_nnfield=fl)
+                return loss, aux
 
         aug_signs = None
         if c.augment_flip_x:  # arch de/ae only (validated in __init__)
@@ -771,12 +807,9 @@ class Trainer:
                     "rmse": float(np.sqrt(np.mean((gen - xs) ** 2)))})
         return out
 
-    def _ae_decode_fn(self):
-        """Build (once) a latent->field decoder from ``--ae_load_path``.
-
-        Gives arch-"nn" evals their field-space numbers without the caller
-        hand-constructing an AE (round-3 VERDICT weak #5 / next #8): the
-        flag every nn test invocation already carries is enough."""
+    def _ae_trainer(self):
+        """Build (once) the restored AE Trainer behind ``--ae_load_path``
+        (the frozen decoder for nn field-space eval/training)."""
         if not self.c.ae_load_path:
             return None
         if getattr(self, "_eval_ae", None) is None:
@@ -787,7 +820,16 @@ class Trainer:
                          save_cfg=False)
             ae.restore_checkpoint()
             self._eval_ae = ae
-        return self._eval_ae.decode
+        return self._eval_ae
+
+    def _ae_decode_fn(self):
+        """Latent->field decoder from ``--ae_load_path``.
+
+        Gives arch-"nn" evals their field-space numbers without the caller
+        hand-constructing an AE (round-3 VERDICT weak #5 / next #8): the
+        flag every nn test invocation already carries is enough."""
+        ae = self._ae_trainer()
+        return None if ae is None else ae.decode
 
     def _evaluate_nn(self, num_samples: int, decode_fn=None,
                      profile_scenes: int = 1, pool: str = "auto") -> dict:

@@ -270,6 +270,36 @@ class TestTrainerNN:
         aux = t_nn.train(num_steps=5)
         assert np.isfinite(aux["loss"])
 
+    def test_nn_field_space_loss(self, tiny_dataset, tmp_path):
+        # --nn_field_w: integrator trained through the frozen AE decoder.
+        c_ae = tiny_config(tiny_dataset, str(tmp_path), arch="ae",
+                           tag="aefs")
+        t_ae = Trainer(c_ae)
+        t_ae.train(num_steps=2)
+        t_ae.save_checkpoint(wait=True)
+        from deepfluids_tpu.infer import encode_dataset
+
+        encode_dataset(t_ae.encode, c_ae.dataset_dir, c_ae.z_num,
+                       batch_size=8, suffix="fs")
+
+        c_nn = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                           tag="nnfs", w_num=3, batch_size=8,
+                           code_suffix="fs", nn_field_w=1.0,
+                           nn_field_frames=2,
+                           ae_load_path=t_ae.run_dir)
+        t_nn = Trainer(c_nn)
+        aux = t_nn.train(num_steps=3)
+        assert np.isfinite(aux["loss"])
+        assert "loss_nnfield" in aux and np.isfinite(aux["loss_nnfield"])
+        # field term contributes to the total beyond the latent term
+        assert float(aux["loss"]) >= float(aux["loss_z"])
+        # without a decoder the flag fails loudly
+        c_bad = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                            tag="nnfsbad", w_num=3, batch_size=8,
+                            code_suffix="fs", nn_field_w=1.0)
+        with pytest.raises(ValueError, match="ae_load_path"):
+            Trainer(c_bad).train(num_steps=1)
+
 
 class TestTrainer3D:
     def test_3d_generator_training(self, tmp_path):
