@@ -36,6 +36,36 @@ def timeit(f, *args, iters=5, warmup=2):
     return _measure(f, args, iters, warmup)
 
 
+V5E_BF16_PEAK = 197e12  # TPU v5 lite per-chip peak bf16 FLOP/s
+
+
+def _flops(jfn, *args):
+    """HLO flop count of the compiled program (XLA cost analysis; works
+    through the axon tunnel).  None when the runtime can't report it."""
+    try:
+        ca = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(rec, flops_per_call, dt_call):
+    """Attach achieved TFLOP/s + model-flops-utilization vs the bf16 peak.
+
+    MFU here counts the HLO's own flops (incl. FD stencils and optimizer
+    elementwise work, which can never hit the MXU peak), so it is a LOWER
+    bound on how well the matmul/conv fraction maps — the roofline judgment
+    call for training (r4 VERDICT #5: is 3D training compute-bound?)."""
+    if flops_per_call and jax.default_backend() == "tpu":
+        rec["tflops_per_sec"] = round(flops_per_call / dt_call / 1e12, 1)
+        rec["mfu_vs_bf16_peak"] = round(
+            flops_per_call / dt_call / V5E_BF16_PEAK, 3)
+    return rec
+
+
 def bench_infer2d():
     import __graft_entry__ as ge
 
@@ -51,8 +81,9 @@ def bench_infer2d():
         -1, 1, (16, 512, 3)).astype(np.float32))
     dt = timeit(jfn, params, chunks)
     n = 16 * 512
-    return {"metric": "2d_fields_per_sec", "value": round(n / dt, 1),
-            "detail": "128x96 scanned sweep 16x512"}
+    return _mfu({"metric": "2d_fields_per_sec", "value": round(n / dt, 1),
+                 "detail": "128x96 scanned sweep 16x512"},
+                _flops(jfn, params, chunks), dt)
 
 
 def bench_infer3d():
@@ -76,8 +107,10 @@ def bench_infer3d():
     chunks = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (K, B, 3)).astype(np.float32))
     dt = timeit(jfn, params, chunks, iters=3)
-    return {"metric": "3d_fields_per_sec", "value": round(K * B / dt, 1),
-            "detail": "112x64x32 vector potential + curl3, scan 4x32"}
+    return _mfu({"metric": "3d_fields_per_sec",
+                 "value": round(K * B / dt, 1),
+                 "detail": "112x64x32 vector potential + curl3, scan 4x32"},
+                _flops(jfn, params, chunks), dt)
 
 
 def bench_train2d():
@@ -113,8 +146,10 @@ def bench_train2d():
         s, l = jstep(s, x, y)
         float(l)
     dt = (time.perf_counter() - t0) / N
-    return {"metric": "2d_train_steps_per_sec", "value": round(1 / dt, 1),
-            "detail": f"batch {B}, curl+jacobian loss, Adam"}
+    return _mfu({"metric": "2d_train_steps_per_sec",
+                 "value": round(1 / dt, 1),
+                 "detail": f"batch {B}, curl+jacobian loss, Adam"},
+                _flops(jstep, s, x, y), dt)
 
 
 def bench_train3d():
@@ -156,9 +191,11 @@ def bench_train3d():
         s, ls = jmulti(s, xs, ys)
         float(jnp.sum(ls))
     dt = (time.perf_counter() - t0) / (N * K)
-    return {"metric": "3d_train_steps_per_sec", "value": round(1 / dt, 1),
-            "detail": f"112x64x32 batch {B}, curl3+jacobian3 fused-VJP "
-                      f"loss, steps_per_call={K} (synthetic batches)"}
+    return _mfu({"metric": "3d_train_steps_per_sec",
+                 "value": round(1 / dt, 1),
+                 "detail": f"112x64x32 batch {B}, curl3+jacobian3 fused-VJP "
+                           f"loss, steps_per_call={K} (synthetic batches)"},
+                _flops(jmulti, s, xs, ys), dt * K)
 
 
 def bench_rollout():
