@@ -805,6 +805,16 @@ class Trainer:
                     "l2_median": float(np.median(l2s)),
                     "l2_max": float(l2s.max()),
                     "rmse": float(np.sqrt(np.mean((gen - xs) ** 2)))})
+        # Per-scene medians: small holdout pools (2-5 scenes) hide their
+        # spread behind one aggregate — e.g. cfg5's r4 holdout mean was
+        # skewed 1.7x by its hardest corner scene (r4 VERDICT weak #4).
+        keys = self.bm.ds.scene_keys
+        by_scene: dict[str, list[float]] = {}
+        for i, l2 in zip(idx, l2s):
+            by_scene.setdefault(keys[int(i)], []).append(float(l2))
+        out["per_scene_l2_median"] = {
+            k: round(float(np.median(v)), 4)
+            for k, v in sorted(by_scene.items())}
         return out
 
     def _ae_trainer(self):

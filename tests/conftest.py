@@ -38,14 +38,30 @@ def rng():
     return np.random.default_rng(0)
 
 
-# --- tiering (round-3 VERDICT next #7) ------------------------------------
+# --- tiering (round-3 VERDICT next #7; re-tiered round 5) ------------------
 # Tests below are the multi-minute tail of the suite (measured durations,
-# 2026-08-19 timed run: these 28 sum to ~70 % of total wall).  They carry
-# @slow so the default `pytest -q` stays under ~5 min and keeps being run;
-# every feature they cover retains a fast representative in the default
-# tier (e.g. TestTensorParallel covers TP while the flagship-shape TP test
-# is slow).  Run everything with `pytest -q -m ''`.
+# 2026-08-19 timed runs).  They carry @slow so the default `pytest -q`
+# stays under ~5 min and keeps being run; every feature they cover retains
+# a fast representative in the default tier (e.g. TestTensorParallel covers
+# TP while the flagship-shape TP test is slow; the 3D halo stencils marked
+# slow here are ALSO asserted by the driver-run dryrun_multichip every
+# round).  Run everything with `pytest -q -m ''`.
 SLOW_TESTS = frozenset({
+    # round-5 re-tier (fast tier had crept 418s; these sum ~170s loaded)
+    "test_train.py::TestTrainerNN::test_nn_arch_end_to_end",
+    "test_projection.py::TestMultigrid::test_vcycle_converges_curl_ls",
+    "test_projection.py::TestProjectCurl2D::test_is_projection",
+    "test_train.py::TestSpatialShard::test_2d_spatial_grads_match_replicated",
+    "test_train.py::TestMultiStep::test_remainder_rounds_up",
+    "test_train.py::TestAugmentFlipX::test_trains_and_resumes_bitwise",
+    "test_datagen.py::TestLiquidFLIP::test_batch_matches_single",
+    "test_train.py::TestDeviceDataCache::test_streaming_to_accelerator_warns",
+    "test_train.py::TestFusedShardedTraining::test_forced_pallas_matches_oracle_params",
+    "test_train.py::TestEvalHoldout::test_nn_holdout_partitions_pipeline",
+    "test_parallel.py::TestHalo3D::test_curl3d_matches_oracle",
+    "test_parallel.py::TestHalo3D::test_divfree_through_sharded_3d",
+    "test_models.py::TestGenerator3D::test_output_shape",
+    "test_train.py::TestParamEmbed::test_embed_bands_trains_and_evaluates",
     "test_train.py::TestTPFlagshipShape::test_tp_flagship_step_grads_checkpoint",
     "test_train.py::TestGrainPipeline::test_grain_stream_deterministic",
     "test_train.py::TestGrainPipeline::test_grain_trains",

@@ -1013,6 +1013,9 @@ class TestEvalHoldout:
         # every evaluated frame comes from the held-out scene set
         assert r["num_samples"] <= len(t.bm.eval_indices)
         assert np.isfinite(r["l2_mean"])
+        # per-scene spread: exactly the held-out scene keys appear
+        held_keys = {t.bm.ds.scene_keys[int(i)] for i in t.bm.eval_indices}
+        assert set(r["per_scene_l2_median"]) == held_keys
         # pool="train" must sample STRICTLY the training subset — the old
         # eval_holdout_scenes=0 override sampled the full pool, so
         # "train-pool" gap diagnostics were contaminated by holdout
