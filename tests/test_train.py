@@ -762,7 +762,7 @@ class TestEvaluate:
         t.train(num_steps=2)
         r = t.evaluate(num_samples=8)
         assert set(r) == {"l2_mean", "l2_median", "l2_max", "rmse",
-                          "num_samples", "holdout"}
+                          "num_samples", "holdout", "per_scene_l2_median"}
         assert r["num_samples"] == 8 and np.isfinite(r["l2_mean"])
         assert r["holdout"] is False  # no --eval_holdout_scenes set
 
