@@ -47,6 +47,15 @@ def rng():
 # slow here are ALSO asserted by the driver-run dryrun_multichip every
 # round).  Run everything with `pytest -q -m ''`.
 SLOW_TESTS = frozenset({
+    # round-5 second re-tier (fast tier still ~394s measured on a 1-core
+    # VM; these four sum ~80s there).  Coverage kept fast: 2D AE roundtrip
+    # (TestAutoencoder), de-path evaluate (test_evaluate_returns_l2_stats),
+    # 3D halo stencils (driver dryrun_multichip each round), curl-path
+    # losses (TestLosses siblings).
+    "test_models.py::TestAutoencoder3D::test_3d_roundtrip",
+    "test_train.py::TestEvaluate::test_evaluate_ae_recon_and_param",
+    "test_parallel.py::TestHalo3D::test_jacobian3d_matches_oracle",
+    "test_train.py::TestLosses::test_generator_loss_curl_path_grads",
     # round-5 re-tier (fast tier had crept 418s; these sum ~170s loaded)
     "test_train.py::TestTrainerNN::test_nn_arch_end_to_end",
     "test_projection.py::TestMultigrid::test_vcycle_converges_curl_ls",
