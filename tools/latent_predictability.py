@@ -10,13 +10,26 @@ the integrator-above-AE-floor gap is a DATA novelty property, not an
 integrator-capacity one — and no amount of integrator training on the
 same codes will close it.
 
+Two r5 controls separate the remaining hypotheses for WHY dz is
+unpredictable from [z, p, p+1]:
+
+- ``--history H``: feed H latent steps [z_t, z_{t-1}, ..] (plus the
+  matching param window).  If history recovers R^2, the dynamics are
+  NON-MARKOVIAN in z — the reconstruction-trained AE discards state the
+  dynamics need, and joint AE+dynamics training is the fix.
+- ``--rff D``: append D fixed random ReLU features of the base row (a
+  one-layer random network, the cheapest nonlinear-capacity control).
+  If nonlinearity recovers R^2, a bigger/better-trained MLP integrator
+  would too (we measured it does not — see BENCHMARKS.md).
+
 Usage: python tools/latent_predictability.py <dataset_dir> <z_num>
-           [holdout_scenes] [suffix] [note]
+           [holdout_scenes] [suffix] [note] [--history H] [--rff D]
 
 Appends metric=latent_predictability to BENCHMARKS.jsonl.  Pure
 numpy/CPU — no chip time.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -28,10 +41,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def design(z, p):
-    """Rows [z_t, p_t, p_{t+1}] and targets dz_t for one scene."""
-    x = np.concatenate([z[:-1], p[:-1], p[1:]], axis=1)
-    y = z[1:] - z[:-1]
+def design(z, p, history=1):
+    """Rows [z_t, .., z_{t-H+1}, p_{t-H+1..t}, p_{t+1}], targets dz_t.
+
+    history=1 reproduces the original [z_t, p_t, p_{t+1}] probe exactly.
+    """
+    h = history
+    T = len(z)
+    rows = [z[h - 1 - k:T - 1 - k] for k in range(h)]          # z lags
+    rows += [p[h - 1 - k:T - 1 - k] for k in range(h)]         # p lags
+    rows.append(p[h:])                                         # p_{t+1}
+    x = np.concatenate(rows, axis=1)
+    y = z[h:] - z[h - 1:-1]
     return x, y
 
 
@@ -55,6 +76,27 @@ class Ridge:
         return xs @ self.w
 
 
+class RFF:
+    """Fixed random ReLU feature lift: x -> [x, relu(x_std @ W)].
+
+    Standardization uses TRAIN stats (set by fit_stats); W is drawn once
+    from a fixed seed so train/holdout see the same lift.
+    """
+
+    def __init__(self, dim, width, seed=0):
+        rng = np.random.default_rng(seed)
+        self.w = rng.normal(0, 1.0 / np.sqrt(dim), (dim, width))
+
+    def fit_stats(self, x):
+        self.mu = x.mean(0)
+        self.sd = x.std(0) + 1e-8
+        return self
+
+    def lift(self, x):
+        xs = (x - self.mu) / self.sd
+        return np.concatenate([x, np.maximum(xs @ self.w, 0.0)], axis=1)
+
+
 def r2(y, pred):
     ss_res = np.sum((y - pred) ** 2, axis=0)
     ss_tot = np.sum((y - y.mean(0)) ** 2, axis=0) + 1e-12
@@ -62,39 +104,50 @@ def r2(y, pred):
 
 
 def main():
-    if len(sys.argv) < 3:
-        print(__doc__, file=sys.stderr)
-        raise SystemExit(2)
-    dataset_dir = sys.argv[1]
-    z_num = int(sys.argv[2])
-    holdout = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    suffix = sys.argv[4] if len(sys.argv) > 4 else ""
-    note = sys.argv[5] if len(sys.argv) > 5 else ""
+    ap = argparse.ArgumentParser(
+        description="Latent-dynamics predictability probe")
+    ap.add_argument("dataset_dir")
+    ap.add_argument("z_num", type=int)
+    ap.add_argument("holdout_scenes", nargs="?", type=int, default=5)
+    ap.add_argument("suffix", nargs="?", default="")
+    ap.add_argument("note", nargs="?", default="")
+    ap.add_argument("--history", type=int, default=1,
+                    help="latent/param lag steps in the design row")
+    ap.add_argument("--rff", type=int, default=0,
+                    help=">0: append this many fixed random ReLU features")
+    a = ap.parse_args()
 
     from deepfluids_tpu.data.dataset import CodeDataset
 
-    cd = CodeDataset(dataset_dir, z_num, holdout_scenes=holdout,
-                     suffix=suffix)
-    tr = [design(cd.z[i], cd.p[i]) for i in cd.train_scene_indices]
-    ho = [design(cd.z[i], cd.p[i]) for i in cd.eval_scene_indices]
-    xt = np.concatenate([a for a, _ in tr])
-    yt = np.concatenate([b for _, b in tr])
+    cd = CodeDataset(a.dataset_dir, a.z_num, holdout_scenes=a.holdout_scenes,
+                     suffix=a.suffix)
+    tr = [design(cd.z[i], cd.p[i], a.history) for i in cd.train_scene_indices]
+    ho = [design(cd.z[i], cd.p[i], a.history) for i in cd.eval_scene_indices]
+    xt = np.concatenate([x for x, _ in tr])
+    yt = np.concatenate([y for _, y in tr])
+    xh = np.concatenate([x for x, _ in ho])
+    yh = np.concatenate([y for _, y in ho])
+    if a.rff > 0:
+        lift = RFF(xt.shape[1], a.rff).fit_stats(xt)
+        tr = [(lift.lift(x), y) for x, y in tr]
+        ho = [(lift.lift(x), y) for x, y in ho]
+        xt, xh = lift.lift(xt), lift.lift(xh)
     m = Ridge().fit(xt, yt)
     r2_train = r2(yt, m.predict(xt))
-    xh = np.concatenate([a for a, _ in ho])
-    yh = np.concatenate([b for _, b in ho])
     r2_hold = r2(yh, m.predict(xh))
     # Per-scene spread on the holdout (novelty varies by scene).
-    per_scene = [float(np.median(r2(b, m.predict(a)))) for a, b in ho]
+    per_scene = [float(np.median(r2(y, m.predict(x)))) for x, y in ho]
     rec = {
         "metric": "latent_predictability",
-        "dataset": os.path.basename(dataset_dir),
-        "code_set": f"code{z_num}{suffix}",
-        "holdout_scenes": holdout,
+        "dataset": os.path.basename(a.dataset_dir),
+        "code_set": f"code{a.z_num}{a.suffix}",
+        "holdout_scenes": a.holdout_scenes,
+        "history": a.history,
+        "rff": a.rff,
         "r2_train_median": round(float(np.median(r2_train)), 4),
         "r2_holdout_median": round(float(np.median(r2_hold)), 4),
         "r2_holdout_per_scene": [round(v, 4) for v in per_scene],
-        "note": note,
+        "note": a.note,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     with open(os.path.join(ROOT, "BENCHMARKS.jsonl"), "a") as f:
