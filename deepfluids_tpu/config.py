@@ -88,6 +88,13 @@ class Config:
     nn_field_frames: int = 4   # window positions decoded per step for
                                # --nn_field_w (cost control: decodes
                                # nn_field_frames x batch fields per step)
+    nn_history: int = 1        # integrator order: H>1 feeds the MLP the
+                               # last H latent codes [z_t;..;z_{t-H+1};dp]
+                               # and seeds rollouts with H true codes.
+                               # The r5 predictability probe shows mov's
+                               # latent dynamics are non-Markovian in z
+                               # (holdout R² 0.26 @ H=1 → 0.86 @ H=4);
+                               # 1 = reference parity (SURVEY §3.4 MLP)
 
     # --- data ---
     data_dir: str = "data"
@@ -221,7 +228,7 @@ def get_parser() -> argparse.ArgumentParser:
                     "decoder", "grid_levels", "grid_features", "grid_rank",
                     "nn_hidden", "nn_depth",
                     "w_num", "remat_rollout", "nn_noise",
-                    "nn_field_w", "nn_field_frames"],
+                    "nn_field_w", "nn_field_frames", "nn_history"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "input_pipeline",
                  "eval_holdout_scenes", "holdout_mode", "code_suffix",

@@ -104,18 +104,22 @@ def rollout_trajectory(
         models.latent.rollout); only the free block's update is returned.
       decode_fn: ``z [B, z_num] -> field [B, *res, C]`` (normalized units,
         curl applied).
-      z0: [B, z_num] start codes (front dims = normalized params at t=0).
+      z0: [B, z_num] start codes (front dims = normalized params at t=0),
+        or [H, B, z_num] for a history-H integrator (--nn_history: the
+        first H encoded codes seed the second-order rollout).
       raw_p_seq: [T, num_param] raw parameter trajectory (shared across the
         batch) or [T, B, num_param].
     Returns:
       (z_traj [T, B, z_num], fields [T, B, *res, C] in RAW units).
     """
     num_param = manifest.num_param
+    batch = z0.shape[1] if z0.ndim == 3 else z0.shape[0]
     p_norm = manifest.normalize_params(raw_p_seq)
     if p_norm.ndim == 2:
-        p_norm = np.repeat(p_norm[:, None], z0.shape[0], axis=1)
+        p_norm = np.repeat(p_norm[:, None], batch, axis=1)
     z_traj = latent_rollout(integrator_apply, integrator_params,
-                            jnp.asarray(z0), jnp.asarray(p_norm), num_param)
+                            jnp.asarray(z0), jnp.asarray(p_norm), num_param,
+                            history=z0.shape[0] if z0.ndim == 3 else 1)
     z_traj = np.asarray(z_traj)
     t, b = z_traj.shape[:2]
     flat = z_traj.reshape(t * b, -1)

@@ -136,10 +136,14 @@ def main(config: Config) -> dict:
     T = config.test_frames or z_seq.shape[0]
     apply_fn = lambda p, zf, dp: trainer.state.apply_fn({"params": p},
                                                         zf, dp)
+    # --nn_history H>1: seed with the first H encoded codes ([H, 1, z] —
+    # a second-order integrator needs H initial states).
+    H = trainer.c.nn_history
+    z_start = z_seq[:H][:, None] if H > 1 else z_seq[:1]
     z_traj, fields = rollout_trajectory(
         apply_fn, trainer.state.params,
         lambda z: jnp.asarray(ae.decode(np.asarray(z))),
-        z_seq[:1], p_raw_first[:T], trainer.manifest,
+        z_start, p_raw_first[:T], trainer.manifest,
         decode_batch=config.test_batch_size)
     np.savez_compressed(os.path.join(out_dir, "rollout.npz"),
                         z=z_traj, x=fields[:, 0])

@@ -72,6 +72,7 @@ def rollout(
     remat: bool = False,
     noise_std: float = 0.0,
     rng: jnp.ndarray | None = None,
+    history: int = 1,
 ) -> jnp.ndarray:
     """Advance a latent code through time with the integrator via lax.scan.
 
@@ -95,10 +96,23 @@ def rollout(
         far past the training window w.  Inference keeps noise_std=0.
       rng: PRNGKey for the noise (required when noise_std > 0); fold in
         the global step for a deterministic, exactly-resumable stream.
+      history: H>1 makes the integrator SECOND(+)-ORDER: its input is the
+        concatenated window ``[z_t ; z_{t-1} ; .. ; z_{t-H+1} ; dp_t]`` and
+        ``z0`` must be the ``[H, B, z_num]`` TRUE codes of steps 0..H-1
+        (aligned with ``p_seq[:H]``).  Motivation (r5 mechanism probe,
+        BENCHMARKS.md): the mov family's latent dynamics are strongly
+        non-Markovian in z — one step of history lifts one-step holdout
+        R² from 0.26 to 0.76 (h=4: 0.86), so the reference's first-order
+        [z_t ; dp] family structurally cannot track them.  H=1 is the
+        reference-parity path, bit-identical to the pre-history code.
 
     Returns:
-      ``[T, B, z_num]`` latent trajectory (z_0 included as step 0).
+      ``[T, B, z_num]`` latent trajectory (z_0 included as step 0; with
+      history H the first H entries are the true seed codes).
     """
+    if history > 1 or z0.ndim == 3:
+        return _rollout_history(apply_fn, params, z0, p_seq, num_param,
+                                history, remat, noise_std, rng)
     z_free0 = z0[:, num_param:]
     dp_seq = p_seq[1:] - p_seq[:-1]  # [T-1, B, num_param]
 
@@ -125,3 +139,51 @@ def rollout(
                            (dp_seq, p_seq[1:], eps_seq))
     z_first = jnp.concatenate([p_seq[0], z_free0], axis=-1)[None]
     return jnp.concatenate([z_first, traj], axis=0)
+
+
+def _rollout_history(apply_fn, params, z0, p_seq, num_param,
+                     history, remat, noise_std, rng):
+    """History-H rollout (see :func:`rollout` ``history``).
+
+    Carries the last H full codes as a ``[H, B, z_num]`` window; each step
+    feeds the integrator ``[z_t ; z_{t-1} ; .. ; z_{t-H+1}]`` (current
+    first — the H=1 column layout extended leftward, so the same
+    LatentIntegrator module works at any H, its fc_0 simply widening) and
+    advances the free block residually exactly as the first-order path.
+    """
+    if z0.ndim != 3:
+        raise ValueError("rollout(history>1) needs z0 of shape "
+                         f"[history, B, z_num]; got {z0.shape}")
+    H = int(z0.shape[0])
+    if history not in (1, H):
+        raise ValueError(f"z0 leading dim {H} != history {history}")
+    # Pin the seed codes' param blocks to the known trajectory (the free
+    # blocks are the data; param blocks must match p_seq by contract).
+    zwin0 = jnp.concatenate([p_seq[:H], z0[:, :, num_param:]], axis=-1)
+
+    dp_seq = p_seq[H:] - p_seq[H - 1:-1]        # dp_t for t=H-1..T-2
+    n_free = z0.shape[-1] - num_param
+    if noise_std > 0.0:
+        if rng is None:
+            raise ValueError("rollout(noise_std>0) needs an rng key")
+        eps_seq = noise_std * jax.random.normal(
+            rng, dp_seq.shape[:2] + (n_free,), z0.dtype)
+    else:
+        eps_seq = jnp.zeros((dp_seq.shape[0], 1, 1), z0.dtype)
+
+    def step(zwin, inp):
+        dp, p_next, eps = inp
+        z_free = zwin[-1][:, num_param:] + eps   # corrupt carried state
+        z_cur = jnp.concatenate([zwin[-1][:, :num_param], z_free], -1)
+        zwin = zwin.at[-1].set(z_cur)
+        # [z_t ; z_{t-1} ; ..] — reverse the window then flatten to [B, H*z].
+        z_cat = jnp.swapaxes(zwin[::-1], 0, 1).reshape(zwin.shape[1], -1)
+        z_next_free = z_free + apply_fn(params, z_cat, dp)
+        z_next = jnp.concatenate([p_next, z_next_free], -1)
+        zwin = jnp.concatenate([zwin[1:], z_next[None]], axis=0)
+        return zwin, z_next
+
+    if remat:
+        step = jax.checkpoint(step)
+    _, traj = jax.lax.scan(step, zwin0, (dp_seq, p_seq[H:], eps_seq))
+    return jnp.concatenate([zwin0, traj], axis=0)

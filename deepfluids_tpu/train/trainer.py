@@ -76,6 +76,14 @@ class Trainer:
             raise ValueError("--augment_flip_x applies to arch de/ae "
                              "(field-space training); the latent "
                              "integrator trains on encoded codes")
+        if config.nn_history < 1:
+            raise ValueError("--nn_history must be >= 1")
+        if config.arch == "nn" and config.nn_history >= config.w_num:
+            raise ValueError(
+                f"--nn_history {config.nn_history} must be < --w_num "
+                f"{config.w_num}: the first H window positions are true "
+                "seed codes, so the window needs predicted steps to train "
+                "on")
 
         # --- data ---
         if config.arch in ("de", "ae"):
@@ -240,7 +248,9 @@ class Trainer:
             return (jnp.zeros((1, self.num_param)),)
         if c.arch == "ae":
             return (jnp.zeros((1,) + self._field_shape()),)
-        return (jnp.zeros((1, c.z_num)), jnp.zeros((1, self.num_param)))
+        # nn: fc_0's width follows the history window (H * z_num + dp).
+        return (jnp.zeros((1, c.z_num * c.nn_history)),
+                jnp.zeros((1, self.num_param)))
 
     # ------------------------------------------------------------------
     # train step (jit once, runs for the whole loop)
@@ -333,17 +343,23 @@ class Trainer:
                 rng = (jax.random.fold_in(
                     jax.random.PRNGKey(c.seed ^ 0x6E01), step_num)
                     if c.nn_noise > 0 else None)
-                z_pred = rollout(apply, params, z_seq[0], p_seq, num_param,
+                # --nn_history H>1: seed with the window's first H TRUE
+                # codes (second-order integrator; models/latent.rollout).
+                z_start = (z_seq[:c.nn_history] if c.nn_history > 1
+                           else z_seq[0])
+                z_pred = rollout(apply, params, z_start, p_seq, num_param,
                                  remat=c.remat_rollout,
-                                 noise_std=c.nn_noise, rng=rng)
+                                 noise_std=c.nn_noise, rng=rng,
+                                 history=c.nn_history)
                 loss, aux = losses.latent_window_loss(z_pred, z_seq,
                                                       num_param)
                 if decode_field is not None:
                     # Decode nn_field_frames evenly spaced window positions
                     # (position 0 is the shared start state — excluded).
                     w = z_pred.shape[0]
-                    k = int(min(max(1, c.nn_field_frames), w - 1))
-                    t_idx = np.linspace(1, w - 1, k).astype(int)
+                    k = int(min(max(1, c.nn_field_frames),
+                                w - c.nn_history))
+                    t_idx = np.linspace(c.nn_history, w - 1, k).astype(int)
                     zp = z_pred[t_idx].reshape(-1, z_pred.shape[-1])
                     zt = z_seq[t_idx].reshape(-1, z_seq.shape[-1])
                     fl, _ = losses.field_loss(
@@ -863,13 +879,18 @@ class Trainer:
         # Scenes may have unequal lengths (CodeDataset supports that);
         # evaluate over the shortest common trajectory.
         t_min = min(self.codes.z[i].shape[0] for i in idx)
-        z0 = np.stack([self.codes.z[i][0] for i in idx])     # [S, z]
         z_true = np.stack([self.codes.z[i][:t_min] for i in idx], 1)
         p_seq = np.stack([self.codes.p[i][:t_min] for i in idx], 1)
+        # --nn_history H>1 seeds the rollout with the first H true codes
+        # (a second-order integrator needs two+ initial states, like any
+        # multi-step scheme; at test time these come from encoding the
+        # first H frames).
+        H = self.c.nn_history
+        z0 = z_true[:H] if H > 1 else z_true[0]
         apply = lambda p, zf, dp: self.state.apply_fn({"params": p}, zf, dp)
         traj = np.asarray(self._jitted("rollout_eval", lambda pr, z, ps:
                                        rollout(apply, pr, z, ps,
-                                               self.num_param))(
+                                               self.num_param, history=H))(
             self.state.params, jnp.asarray(z0), jnp.asarray(p_seq)))
         err = np.abs(traj - z_true)
         out = {"num_samples": int(len(idx)), "holdout": holdout,

@@ -88,6 +88,18 @@ class TestAutoencoder:
         assert z.shape == (3, 8)
 
 
+def _randomize_head(params):
+    """The integrator head is zero-init by design (see LatentIntegrator);
+    tests probing input->output dependence need a live head."""
+    import flax
+
+    params = flax.core.unfreeze(params)
+    k = params["params"]["fc_out"]["kernel"]
+    params["params"]["fc_out"]["kernel"] = 0.1 * jax.random.normal(
+        jax.random.key(99), k.shape, k.dtype)
+    return params
+
+
 class TestLatentIntegrator:
     def test_residual_shapes(self):
         m = LatentIntegrator(z_num=8, num_param=2, hidden=32, depth=2)
@@ -119,6 +131,60 @@ class TestLatentIntegrator:
         # step 0 is exactly z0
         np.testing.assert_allclose(np.asarray(traj1[0]), np.asarray(z0),
                                    atol=1e-6)
+
+    def test_rollout_history1_window_path_matches_first_order(self):
+        # A [1, B, z] seed routes through the history window path; with
+        # H=1 its math must be BIT-identical to the first-order path
+        # (same model: the flattened 1-window is exactly [z_t]).
+        m = LatentIntegrator(z_num=8, num_param=2, hidden=16, depth=1)
+        dp = jnp.zeros((2, 2))
+        params = _randomize_head(m.init(jax.random.key(1),
+                                        jnp.ones((2, 8)), dp))
+        apply_fn = lambda p, z, d: m.apply(p, z, d)
+        T = 8
+        p_seq = jnp.linspace(0.0, 1.0, T)[:, None, None] * jnp.ones((T, 2, 2))
+        z0 = jnp.concatenate([p_seq[0], jnp.ones((2, 6))], axis=-1)
+        ref = rollout(apply_fn, params, z0, p_seq, num_param=2)
+        win = rollout(apply_fn, params, z0[None], p_seq, num_param=2)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(win))
+        # noise streams coincide too (same rng draw shapes)
+        rng = jax.random.key(7)
+        ref_n = rollout(apply_fn, params, z0, p_seq, num_param=2,
+                        noise_std=0.1, rng=rng)
+        win_n = rollout(apply_fn, params, z0[None], p_seq, num_param=2,
+                        noise_std=0.1, rng=rng)
+        np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(win_n))
+
+    def test_rollout_history_seeds_shapes_and_lag_dependence(self):
+        # H=3: fc_0 widens to 3*z_num + num_param; the first H outputs are
+        # the (param-pinned) seed codes; the oldest lag must actually
+        # influence predictions (the non-Markovian fix's whole point).
+        H, B, Z, P, T = 3, 2, 8, 2, 10
+        m = LatentIntegrator(z_num=Z, num_param=P, hidden=16, depth=1)
+        dp = jnp.zeros((B, P))
+        params = _randomize_head(m.init(jax.random.key(2),
+                                        jnp.ones((B, H * Z)), dp))
+        apply_fn = lambda p, z, d: m.apply(p, z, d)
+        p_seq = jnp.linspace(0.0, 1.0, T)[:, None, None] * jnp.ones((T, B, P))
+        z0 = jnp.concatenate(
+            [p_seq[:H], jax.random.normal(jax.random.key(3), (H, B, Z - P))],
+            axis=-1)
+        traj = rollout(apply_fn, params, z0, p_seq, num_param=P, history=H)
+        assert traj.shape == (T, B, Z)
+        np.testing.assert_allclose(np.asarray(traj[:H, :, P:]),
+                                   np.asarray(z0[:, :, P:]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(traj[:, :, :P]),
+                                   np.asarray(p_seq), atol=1e-6)
+        # Perturb ONLY the oldest seed: predictions must change.
+        z0b = z0.at[0, :, P:].add(1.0)
+        trajb = rollout(apply_fn, params, z0b, p_seq, num_param=P, history=H)
+        assert float(jnp.abs(trajb[H:] - traj[H:]).max()) > 1e-6
+        # Gradients flow through the windowed scan.
+        g = jax.jit(jax.grad(lambda pr: jnp.sum(
+            rollout(apply_fn, pr, z0, p_seq, num_param=P, history=H) ** 2)))(
+            params)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(g))
 
     def test_rollout_jit_and_grad(self):
         m = LatentIntegrator(z_num=6, num_param=2, hidden=8, depth=1)

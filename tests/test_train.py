@@ -270,6 +270,37 @@ class TestTrainerNN:
         aux = t_nn.train(num_steps=5)
         assert np.isfinite(aux["loss"])
 
+    def test_nn_history_trains_and_evaluates(self, tiny_dataset, tmp_path):
+        # --nn_history 2: second-order integrator (r5 mechanism fix for
+        # the mov non-Markovian latent dynamics, BENCHMARKS.md).  The MLP
+        # input widens to H*z_num + num_param; training windows and eval
+        # rollouts seed with H true codes.
+        c_ae = tiny_config(tiny_dataset, str(tmp_path), arch="ae",
+                           tag="aeh")
+        t_ae = Trainer(c_ae)
+        t_ae.train(num_steps=2)
+        from deepfluids_tpu.infer import encode_dataset
+
+        encode_dataset(t_ae.encode, c_ae.dataset_dir, c_ae.z_num,
+                       batch_size=8, suffix="h")
+
+        c_nn = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                           tag="nnh", w_num=3, batch_size=8,
+                           code_suffix="h", nn_history=2, nn_noise=0.05)
+        t_nn = Trainer(c_nn)
+        aux = t_nn.train(num_steps=4)
+        assert np.isfinite(aux["loss"])
+        fc0 = t_nn.state.params["fc_0"]["kernel"]
+        assert fc0.shape[0] == 2 * c_nn.z_num + t_nn.num_param
+        r = t_nn.evaluate(num_samples=4)
+        assert np.isfinite(r["z_mae"]) and r["rollout_steps"] >= 3
+        # window shorter than the seed history fails loudly
+        c_bad = tiny_config(tiny_dataset, str(tmp_path), arch="nn",
+                            tag="nnhbad", w_num=2, batch_size=8,
+                            code_suffix="h", nn_history=2)
+        with pytest.raises(ValueError, match="nn_history"):
+            Trainer(c_bad)
+
     def test_nn_field_space_loss(self, tiny_dataset, tmp_path):
         # --nn_field_w: integrator trained through the frozen AE decoder.
         c_ae = tiny_config(tiny_dataset, str(tmp_path), arch="ae",
