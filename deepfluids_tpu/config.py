@@ -43,6 +43,19 @@ class Config:
     w1: float = 1.0            # field L1 weight
     w2: float = 1.0            # jacobian L1 weight
     w3: float = 1.0            # latent param-supervision weight (ae)
+    ae_pred_w: float = 0.0     # >0 (ae): PREDICTION-AWARE AE — batches
+                               # become (t, t+1) frame pairs and a
+                               # co-trained one-step latent predictor adds
+                               # w * mse(z_t_free + P([z_t;dp]), z_{t+1,free})
+                               # so the ENCODER is optimized to emit codes
+                               # whose dynamics are Markovian.  Mechanism:
+                               # the r5 probe (BENCHMARKS.md) showed a
+                               # recon-only AE discards per-frame state the
+                               # latent dynamics need (mov one-step holdout
+                               # R2 0.26), capping every downstream
+                               # integrator; the field itself is Markovian
+                               # given params, so z can be made so.
+    ae_pred_hidden: int = 512  # width of the co-trained predictor MLP
     relative_loss: bool = False  # weight samples by 1/mean|x| (optimizes
                                  # the per-frame normalized-L2 metric)
     loss_norm: str = "l1"      # per-element distance of the field/jacobian
@@ -228,7 +241,8 @@ def get_parser() -> argparse.ArgumentParser:
                     "decoder", "grid_levels", "grid_features", "grid_rank",
                     "nn_hidden", "nn_depth",
                     "w_num", "remat_rollout", "nn_noise",
-                    "nn_field_w", "nn_field_frames", "nn_history"],
+                    "nn_field_w", "nn_field_frames", "nn_history",
+                    "ae_pred_w", "ae_pred_hidden"],
         "data": ["data_dir", "dataset", "data_type", "batch_size",
                  "num_worker", "cache_data", "input_pipeline",
                  "eval_holdout_scenes", "holdout_mode", "code_suffix",

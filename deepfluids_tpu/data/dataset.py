@@ -61,6 +61,7 @@ class FieldDataset:
             {} if cache else None
         )
         self._lock = threading.Lock()
+        self._succ: np.ndarray | None = None
 
     @property
     def scene_keys(self) -> list[str]:
@@ -83,6 +84,28 @@ class FieldDataset:
 
     def __len__(self) -> int:
         return len(self.files)
+
+    @property
+    def successor(self) -> np.ndarray:
+        """``succ[i]`` = global index of the SAME scene's next frame, or -1.
+
+        Temporal pairing for the prediction-aware AE objective
+        (``--ae_pred_w``).  Frame numbers are parsed from the filename tail:
+        datagen names frames ``<scene>_<frame>.npz`` WITHOUT zero-padding,
+        so lexical file order is not temporal order and ``i+1`` is NOT the
+        successor — the map goes through (scene, frame+1) lookup."""
+        if self._succ is None:
+            pos: dict[tuple[str, int], int] = {}
+            for i, f in enumerate(self.files):
+                scene, frame = os.path.basename(f)[:-4].rsplit("_", 1)
+                pos[(scene, int(frame))] = i
+            succ = np.full(len(self.files), -1, np.int32)
+            for (scene, frame), i in pos.items():
+                j = pos.get((scene, frame + 1))
+                if j is not None:
+                    succ[i] = j
+            self._succ = succ
+        return self._succ
 
     def _load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         # Native C++ reader (zip walk + zlib inflate, GIL-free) when built;
@@ -175,11 +198,12 @@ class BatchManager:
     def __init__(self, dataset_dir: str, batch_size: int, seed: int = 0,
                  cache: bool = True, num_workers: int = 8,
                  field_key: str = "v", holdout_scenes: int = 0,
-                 holdout_mode: str = "edge"):
+                 holdout_mode: str = "edge", pair: bool = False):
         self.ds = FieldDataset(dataset_dir, cache=cache, field_key=field_key)
         self.manifest = self.ds.manifest
         self.batch_size = batch_size
         self.seed = seed
+        self.pair = pair
         self.rng = np.random.default_rng(seed)
         # Scene-level eval holdout: holdout_scenes distinct scenes — the
         # lexically-last ("edge", extrapolation) or stratified interior
@@ -201,6 +225,18 @@ class BatchManager:
             [i for i, k in enumerate(keys) if k not in held], np.int32)
         self.eval_indices = np.array(
             [i for i, k in enumerate(keys) if k in held], np.int32)
+        if pair:
+            # (t, t+1) frame pairs for --ae_pred_w: draws come from train
+            # frames that HAVE a same-scene successor (the holdout is
+            # per-scene, so a valid successor of a train frame is itself
+            # in the train pool).
+            succ = self.ds.successor
+            self.train_pair_indices = self.train_indices[
+                succ[self.train_indices] >= 0]
+            if not len(self.train_pair_indices):
+                raise ValueError(
+                    "pair=True but no frame has a same-scene successor "
+                    "(single-frame scenes?)")
         self.pool = cf.ThreadPoolExecutor(max_workers=max(num_workers, 1))
         # Separate 1-thread executor for batch-level prefetch: submitting
         # sample_batch to self.pool and blocking on pool.map inside it
@@ -221,15 +257,34 @@ class BatchManager:
         worker is drawing training batches) MUST pass their own Generator —
         np.random.Generator is not thread-safe."""
         rng = rng if rng is not None else self.rng
+        if self.pair:
+            idx = rng.integers(0, len(self.train_pair_indices),
+                               size=self.batch_size)
+            return self._pair_gather(self.train_pair_indices[idx])
         idx = rng.integers(0, len(self.train_indices), size=self.batch_size)
         return self._gather(self.train_indices[idx])
+
+    def _pair_gather(self, idx_t: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Gather frames t and t+1 stacked along batch: ``x`` is
+        ``[2B, ...]`` with rows ``[x_t ; x_{t+1}]`` (the --ae_pred_w loss
+        splits at B)."""
+        return self._gather(
+            np.concatenate([idx_t, self.ds.successor[idx_t]]))
 
     def step_batch(self, step: int) -> tuple[np.ndarray, np.ndarray]:
         """The batch for global step ``step`` — stateless (see step_rng).
 
         Draws positions in the TRAIN subset and maps through train_indices
         (the identity without a holdout, so the historical stream is
-        preserved bit-for-bit)."""
+        preserved bit-for-bit).  In ``pair`` mode the draw is over the
+        pair pool and the gathered batch is ``[2B, ...]``
+        (:meth:`_pair_gather`)."""
+        if self.pair:
+            idx = step_batch_indices(self.seed, step,
+                                     len(self.train_pair_indices),
+                                     self.batch_size)
+            return self._pair_gather(self.train_pair_indices[idx])
         idx = step_batch_indices(self.seed, step, len(self.train_indices),
                                  self.batch_size)
         return self._gather(self.train_indices[idx])

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from deepfluids_tpu.models.generator import (GeneratorBE, default_repeat,
                                              spatial_constraint)
+from deepfluids_tpu.models.latent import LatentIntegrator
 
 
 class Encoder(nn.Module):
@@ -71,6 +72,17 @@ class Autoencoder(nn.Module):
 
     The caller applies curl to psi_hat (same contract as the generator) and
     supervises ``z[:, :num_param]`` against the sim parameters.
+
+    ``pred_hidden > 0`` adds a CO-TRAINED latent one-step predictor (a
+    :class:`LatentIntegrator` head) used by the ``--ae_pred_w`` training
+    objective: the encoder is then optimized to produce codes whose
+    dynamics are Markovian — motivated by the r5 mechanism finding
+    (BENCHMARKS.md "non-Markovian latent dynamics") that a
+    reconstruction-only AE discards per-frame field state the latent
+    dynamics need, capping every downstream integrator.  The per-frame
+    FIELD is Markovian given the parameters; z need not be unless the
+    encoder is asked to make it so.  Inactive (reference-parity, no extra
+    params) at pred_hidden=0.
     """
 
     output_shape: tuple[int, ...] = (128, 96, 1)
@@ -81,8 +93,16 @@ class Autoencoder(nn.Module):
     act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
     spatial_mesh: Any = None
+    num_param: int = 1
+    pred_hidden: int = 0
+    pred_depth: int = 2
 
     def setup(self):
+        if self.pred_hidden > 0:
+            self.predictor = LatentIntegrator(
+                z_num=self.z_num, num_param=self.num_param,
+                hidden=self.pred_hidden, depth=self.pred_depth,
+            )
         self.encoder = Encoder(
             z_num=self.z_num, filters=self.filters, num_conv=self.num_conv,
             repeat=self.repeat, act_slope=self.act_slope, dtype=self.dtype,
@@ -98,6 +118,10 @@ class Autoencoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         z = self.encoder(x)
         psi = self.decoder(z)
+        if self.pred_hidden > 0 and self.is_initializing():
+            # Touch the predictor during init so its params are created
+            # (the training loss applies it via method=predict).
+            self.predictor(z, jnp.zeros((z.shape[0], self.num_param)))
         return psi, z
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -105,3 +129,10 @@ class Autoencoder(nn.Module):
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(z)
+
+    def predict(self, z: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
+        """Co-trained one-step latent predictor: ``dz_free`` from
+        ``[z_t ; dp_t]`` (same contract as the standalone integrator)."""
+        if self.pred_hidden <= 0:
+            raise ValueError("predict() needs pred_hidden > 0")
+        return self.predictor(z, dp)

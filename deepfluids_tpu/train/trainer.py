@@ -78,6 +78,19 @@ class Trainer:
                              "integrator trains on encoded codes")
         if config.nn_history < 1:
             raise ValueError("--nn_history must be >= 1")
+        if config.ae_pred_w > 0:
+            if config.arch != "ae":
+                raise ValueError("--ae_pred_w trains the autoencoder's "
+                                 "co-trained latent predictor (arch ae)")
+            if config.augment_flip_x:
+                # flip_x_batch mirrors a random HALF of the batch; on a
+                # [2B] pair batch the t and t+1 halves would draw
+                # different masks, mirroring one frame of a pair only.
+                raise ValueError("--ae_pred_w with --augment_flip_x is "
+                                 "unsupported (pair batches)")
+            if config.input_pipeline == "grain":
+                raise ValueError("--ae_pred_w needs (t, t+1) pair batches; "
+                                 "the grain pipeline serves single frames")
         if config.arch == "nn" and config.nn_history >= config.w_num:
             raise ValueError(
                 f"--nn_history {config.nn_history} must be < --w_num "
@@ -93,7 +106,8 @@ class Trainer:
                 cache=config.cache_data, num_workers=config.num_worker,
                 field_key=field_key,
                 holdout_scenes=config.eval_holdout_scenes,
-                holdout_mode=config.holdout_mode)
+                holdout_mode=config.holdout_mode,
+                pair=config.arch == "ae" and config.ae_pred_w > 0)
             self.manifest = self.bm.manifest
         else:  # nn
             # Scene-level holdout mirrors BatchManager's (same
@@ -236,7 +250,10 @@ class Trainer:
             return Autoencoder(output_shape=out_shape, z_num=c.z_num,
                                filters=c.filters, num_conv=c.num_conv,
                                repeat=c.repeat, dtype=self.dtype,
-                               spatial_mesh=smesh)
+                               spatial_mesh=smesh,
+                               num_param=self.num_param,
+                               pred_hidden=(c.ae_pred_hidden
+                                            if c.ae_pred_w > 0 else 0))
         if c.arch == "nn":
             return LatentIntegrator(z_num=c.z_num, num_param=self.num_param,
                                     hidden=c.nn_hidden, depth=c.nn_depth)
@@ -298,6 +315,8 @@ class Trainer:
                 del aux["pred"]
                 return loss, aux
         elif c.arch == "ae":
+            ae_model = self.model
+
             def loss_fn(params, x, y):
                 out, z = self.state.apply_fn({"params": params}, x)
                 if spatial:
@@ -310,6 +329,25 @@ class Trainer:
                         out, z, x, y, use_curl, num_param, c.w1, c.w2,
                         c.w3, fused, loss_mesh, c.relative_loss, c.loss_norm)
                 del aux["pred"]
+                if c.ae_pred_w > 0:
+                    # Pair batch [2B] = [x_t ; x_{t+1}] (BatchManager pair
+                    # mode).  The recon/param terms above already cover
+                    # both halves; here the co-trained predictor's
+                    # one-step error flows into the ENCODER through z_t
+                    # AND z_{t+1} — shaping the latent to carry the state
+                    # its own dynamics need (models/autoencoder.py).
+                    nb = z.shape[0] // 2
+                    zt, zt1 = z[:nb], z[nb:]
+                    pt, pt1 = y[:nb], y[nb:]
+                    # Param block pinned to the TRUE trajectory — the
+                    # contract downstream rollouts use (models/latent.py).
+                    z_in = jnp.concatenate([pt, zt[:, num_param:]], -1)
+                    dz = ae_model.apply({"params": params}, z_in, pt1 - pt,
+                                        method=ae_model.predict)
+                    pl = jnp.mean(
+                        (zt[:, num_param:] + dz - zt1[:, num_param:]) ** 2)
+                    loss = loss + c.ae_pred_w * pl
+                    aux = dict(aux, loss_pred=pl)
                 return loss, aux
         else:  # nn — batch is (z_seq [W,B,z], p_seq [W,B,P])
             decode_field = None
@@ -647,10 +685,15 @@ class Trainer:
                      "steps_per_call=%d)", num_steps, rounded, k)
             num_steps = rounded
         use_cache = c.device_data_cache and c.arch in ("de", "ae")
+        pair_mode = c.arch == "ae" and c.ae_pred_w > 0
         if use_cache:
             # Draw positions over the TRAIN subset; the full dataset sits
             # in the HBM cache, the index map keeps holdout frames out.
-            cache_n = len(self.bm.train_indices)
+            # Pair mode (--ae_pred_w) draws t over frames with a
+            # same-scene successor and gathers [t-rows ; (t+1)-rows].
+            cache_pool = (self.bm.train_pair_indices if pair_mode
+                          else self.bm.train_indices)
+            cache_n = len(cache_pool)
         else:
             if c.arch in ("de", "ae") and _default_backend() != "cpu":
                 # Streaming per-step batches to an accelerator is not just
@@ -702,9 +745,12 @@ class Trainer:
                         profiling = False
                 if use_cache:
                     from deepfluids_tpu.data.dataset import step_batch_indices
-                    idx = self.bm.train_indices[np.stack([
+                    idx = cache_pool[np.stack([
                         step_batch_indices(c.seed, s, cache_n, c.batch_size)
                         for s in range(step - take + 1, step + 1)])]
+                    if pair_mode:
+                        idx = np.concatenate(
+                            [idx, self.bm.ds.successor[idx]], axis=1)
                     cx, cy = self._load_device_cache()
                     self.state, aux = self._get_cached_multi()(
                         self.state, idx, cx, cy)

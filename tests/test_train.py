@@ -1318,3 +1318,104 @@ class TestRolloutNoise:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         with pytest.raises(ValueError, match="rng"):
             rollout(ap, params, z0, p_seq, 2, noise_std=0.1)
+
+
+class TestPredictionAwareAE:
+    """--ae_pred_w: (t, t+1) pair batches + co-trained latent predictor
+    (the r5 non-Markovian-latent mechanism fix; models/autoencoder.py)."""
+
+    def test_successor_map_non_lexical_frames(self):
+        # Frame filenames are NOT zero-padded: lexical order puts 10 after
+        # 1, so succ(i) != i+1 in file order — the map must go through
+        # (scene, frame+1).
+        from deepfluids_tpu.data.dataset import FieldDataset
+
+        ds = FieldDataset.__new__(FieldDataset)
+        ds.files = sorted(
+            [f"/x/0_0_{t}.npz" for t in range(12)]
+            + [f"/x/0_1_{t}.npz" for t in range(3)])
+        ds._succ = None
+        succ = ds.successor
+        names = [os.path.basename(f)[:-4] for f in ds.files]
+        for i, n in enumerate(names):
+            scene, frame = n.rsplit("_", 1)
+            j = int(succ[i])
+            if j < 0:  # last frame of its scene
+                assert int(frame) in (11, 2)
+            else:
+                s2, f2 = names[j].rsplit("_", 1)
+                assert s2 == scene and int(f2) == int(frame) + 1
+
+    def test_pair_batches_are_consecutive_frames(self, tiny_dataset):
+        from deepfluids_tpu.data.dataset import BatchManager
+
+        bm = BatchManager(os.path.join(tiny_dataset, "tiny_smoke"), 4,
+                          seed=0, holdout_scenes=1, pair=True)
+        # pair pool: train frames that have a same-scene successor
+        succ = bm.ds.successor
+        assert set(bm.train_pair_indices) <= set(bm.train_indices)
+        assert (succ[bm.train_pair_indices] >= 0).all()
+        x, y = bm.step_batch(5)
+        assert x.shape[0] == 8 and y.shape[0] == 8  # [2B]
+        # halves differ only by one frame step: same scene params, frame
+        # time advanced by one normalized tick (last param is frame time)
+        p_t, p_t1 = y[:4], y[4:]
+        np.testing.assert_allclose(p_t[:, :-1], p_t1[:, :-1], atol=1e-6)
+        frames = sorted({int(os.path.basename(f)[:-4].rsplit("_", 1)[1])
+                         for f in bm.ds.files})
+        tick = 2.0 / (len(frames) - 1)  # time param normalized to [-1, 1]
+        np.testing.assert_allclose(p_t1[:, -1] - p_t[:, -1], tick,
+                                   atol=1e-5)
+        # deterministic (exact-resume contract)
+        x2, y2 = bm.step_batch(5)
+        np.testing.assert_array_equal(x, x2)
+
+    def test_train_step_and_cache_streaming_agree(self, tiny_dataset,
+                                                  tmp_path):
+        cfgs = {}
+        for cache in (False, True):
+            cfg = tiny_config(
+                tiny_dataset, str(tmp_path / f"log{cache}"), arch="ae",
+                ae_pred_w=0.5, max_step=4, log_step=2, batch_size=4,
+                device_data_cache=cache, steps_per_call=2)
+            t = Trainer(cfg, run_dir=str(tmp_path / f"run{cache}"))
+            aux = t.train(cfg.max_step)
+            assert "loss_pred" in aux and np.isfinite(aux["loss_pred"])
+            cfgs[cache] = jax.device_get(t.state.params)
+        # the HBM-cache gather and the streaming path see the SAME
+        # (seed, step) pair stream -> bitwise-identical training
+        jax.tree.map(np.testing.assert_array_equal, cfgs[False],
+                     cfgs[True])
+
+    def test_pred_loss_shapes_encoder_gradients(self, tiny_dataset,
+                                                tmp_path):
+        # The predictor term must backprop into the ENCODER (that is the
+        # whole point: shape z to be predictable), not only the predictor.
+        cfg = tiny_config(tiny_dataset, str(tmp_path / "g"), arch="ae",
+                          ae_pred_w=1.0, batch_size=4)
+        t = Trainer(cfg, run_dir=str(tmp_path / "rg"))
+        x, y = t.bm.step_batch(1)
+
+        def pred_term(params):
+            loss, aux = t._loss_fn(params, jnp.asarray(x), jnp.asarray(y))
+            return aux["loss_pred"]
+
+        g = jax.grad(pred_term)(t.state.params)
+        enc_norm = sum(
+            float(jnp.sum(jnp.abs(v))) for v in
+            jax.tree_util.tree_leaves(g["encoder"]))
+        pred_norm = sum(
+            float(jnp.sum(jnp.abs(v))) for v in
+            jax.tree_util.tree_leaves(g["predictor"]))
+        assert enc_norm > 0 and pred_norm > 0
+
+    def test_validation_errors(self, tiny_dataset, tmp_path):
+        with pytest.raises(ValueError, match="ae_pred_w"):
+            Trainer(tiny_config(tiny_dataset, str(tmp_path / "e1"),
+                                arch="de", ae_pred_w=1.0),
+                    run_dir=str(tmp_path / "e1r"))
+        with pytest.raises(ValueError, match="augment"):
+            Trainer(tiny_config(tiny_dataset, str(tmp_path / "e2"),
+                                arch="ae", ae_pred_w=1.0,
+                                augment_flip_x=True),
+                    run_dir=str(tmp_path / "e2r"))
