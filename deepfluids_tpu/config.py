@@ -205,6 +205,16 @@ class Config:
                                       # with --load_path (resume is exact).
                                       # Set above worst-case compile
                                       # (first 3D backward ~10 min).
+    backend_probe_secs: float = 120.0  # >0 (non-cpu backends, main.py):
+                                      # a TIMED compute (128x128 matmul +
+                                      # fetch) must round-trip within this
+                                      # long at startup, else exit 17 —
+                                      # catches the degraded-runtime mode
+                                      # where device enumeration works but
+                                      # execution RPCs hang (so the hang
+                                      # would land in Trainer init, where
+                                      # the train-loop watchdog never
+                                      # arms).  0 disables.
     die_at_step: int = 0              # >0: fault injection — abort (exit
                                       # 17, no checkpoint) when training
                                       # crosses this step, ONCE per run dir
@@ -252,7 +262,8 @@ def get_parser() -> argparse.ArgumentParser:
                   "save_step",
                   "compute_dtype", "num_data_shards", "num_model_shards",
                   "steps_per_call", "device_data_cache", "cache_dtype",
-                  "spatial_shard", "watchdog_secs", "die_at_step"],
+                  "spatial_shard", "watchdog_secs", "backend_probe_secs",
+                  "die_at_step"],
         "test": ["load_path", "ae_load_path", "test_batch_size",
                  "test_frames", "test_counts"],
         "misc": ["log_dir", "tag", "use_tensorboard", "profile_steps",

@@ -41,6 +41,30 @@ def main(config: Config) -> dict:
     # GB of npz on every retry just to fail at first device contact.
     log.info("backend ready: %d device(s) [%s]", jax.device_count(),
              jax.default_backend())
+    if jax.default_backend() != "cpu" and config.backend_probe_secs > 0:
+        # Device ENUMERATION can succeed while actual compute hangs: a
+        # degraded runtime/tunnel keeps metadata RPCs responsive but drops
+        # execution (observed 2026-08-20 — jax.devices() fine, a 64x64
+        # matmul hung indefinitely, and the child sat blocked in Trainer
+        # init where no watchdog arms).  Probe with a real timed compute;
+        # on hang, exit 17 so a supervisor's no-progress outage backoff
+        # engages instead of burning hours blocked at first device contact.
+        import threading
+
+        ok = threading.Event()
+
+        def _probe():
+            x = jnp.ones((128, 128), jnp.float32)
+            float(jnp.sum(x @ x))  # host fetch forces the full round-trip
+            ok.set()
+
+        threading.Thread(target=_probe, daemon=True).start()
+        if not ok.wait(float(config.backend_probe_secs)):
+            log.error("backend compute probe hung > %.0fs (runtime "
+                      "outage?) — exit 17 for supervised retry",
+                      config.backend_probe_secs)
+            os._exit(17)
+        log.info("backend compute probe ok")
 
     if not config.is_train and config.load_path:
         # Rebuild the TRAINED architecture from the run's own params.json

@@ -145,6 +145,20 @@ class Trainer:
         self.num_param = self.manifest.num_param
         self._check_geometry_flags()
 
+        # Arm the hang watchdog across INIT too: create_train_state /
+        # device_put below are the first real device work, and a runtime
+        # outage that begins after backend init leaves the process blocked
+        # here forever — outside the train loop, where the per-chunk
+        # arming never engages (observed 2026-08-20: child hung 25+ min in
+        # init under a supervisor that could only restart an EXITED
+        # child).  Same 10x compile allowance as the first train chunk.
+        self._wd_deadline: float | None = None   # armed hang-watchdog
+        self._wd_thread = None
+        if config.watchdog_secs > 0:
+            self._wd_start(float(config.watchdog_secs))
+            self._wd_deadline = (time.monotonic()
+                                 + 10 * float(config.watchdog_secs))
+
         # --- model ---
         self.model = self._build_model()
 
@@ -164,8 +178,7 @@ class Trainer:
                  dict(self.mesh.shape))
 
         self._dump_rng = np.random.default_rng(config.seed + 7919)
-        self._wd_deadline: float | None = None   # armed hang-watchdog
-        self._wd_thread = None
+        self._wd_deadline = None   # init device work done — disarm
         self._train_step = self._make_train_step()
         self._metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
         self._ckpt_mgr = None

@@ -880,6 +880,18 @@ class TestWatchdog:
         t._wd_deadline = None
         assert not fired.wait(timeout=0.8)
 
+    def test_init_arms_and_disarms(self, tiny_dataset, tmp_path):
+        # Trainer __init__ runs the first real device work (state init /
+        # device_put); with watchdog_secs > 0 the watcher must be LIVE
+        # during init (a runtime outage there would otherwise hang the
+        # child outside the train loop's arming, unrecoverable by a
+        # supervisor) and disarmed once init completes.
+        c = tiny_config(tiny_dataset, str(tmp_path), tag="wd4",
+                        watchdog_secs=60.0)
+        t = Trainer(c)
+        assert t._wd_thread is not None and t._wd_thread.is_alive()
+        assert t._wd_deadline is None    # init done -> disarmed
+
     def test_training_with_watchdog_completes(self, tiny_dataset, tmp_path):
         c = tiny_config(tiny_dataset, str(tmp_path), tag="wd3",
                         watchdog_secs=60.0)
